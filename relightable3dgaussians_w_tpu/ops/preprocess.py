@@ -1,0 +1,147 @@
+"""Per-Gaussian preprocessing: projection, EWA 2D covariance, conic, tile rects.
+
+TPU-native re-design of the reference CUDA `preprocessCUDA` / `computeCov2D` /
+`computeCov3D` (cuda_rasterizer/forward.cu:74-256): a fully vectorized jnp pipeline
+(vmapped matrix math lowers onto the VPU/MXU) instead of one CUDA thread per Gaussian.
+All culling decisions become masks; shapes stay static.
+
+Numerics match the reference exactly: near-cull at view z <= 0.2 (auxiliary.h:139-164),
+homogeneous epsilon 1e-7, the 1.3*tanfov frustum clamp before the Jacobian, the +0.3
+screen-space low-pass, the max(0.1, ...) eigenvalue guard, radius = ceil(3*sigma_max),
+and the BLOCK-aligned tile rectangle of getRect (auxiliary.h:46-56).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..utils.graphics import covariance_3d, ndc_to_pixel
+
+
+class PreprocessOut(NamedTuple):
+    mean2d: jnp.ndarray        # [N, 2] pixel-space centers
+    conic: jnp.ndarray         # [N, 3] inverse 2D covariance (a, b, c)
+    depth: jnp.ndarray         # [N] view-space z
+    radius: jnp.ndarray        # [N] int32 screen-space radius, 0 => culled
+    tiles_touched: jnp.ndarray # [N] int32
+    rect_min: jnp.ndarray      # [N, 2] int32 (tx, ty) inclusive
+    rect_max: jnp.ndarray      # [N, 2] int32 (tx, ty) exclusive
+    cov3d: jnp.ndarray         # [N, 6] world covariance (xx, xy, xz, yy, yz, zz)
+
+
+def compute_cov2d(p_orig: jnp.ndarray, cov3d: jnp.ndarray, viewmat: jnp.ndarray,
+                  focal_x, focal_y, tan_fovx, tan_fovy) -> jnp.ndarray:
+    """EWA projection of the 3D covariance to screen space (forward.cu:74-113).
+
+    Args:
+        p_orig: [N, 3] world positions.
+        cov3d: [N, 6] symmetric covariance packing.
+        viewmat: [4, 4] world->view.
+    Returns:
+        [N, 3] 2D covariance (cxx, cxy, cyy) with the +0.3 low-pass applied.
+    """
+    t = p_orig @ viewmat[:3, :3].T + viewmat[:3, 3]
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    tz = t[:, 2]
+    txtz = t[:, 0] / tz
+    tytz = t[:, 1] / tz
+    tx = jnp.clip(txtz, -limx, limx) * tz
+    ty = jnp.clip(tytz, -limy, limy) * tz
+
+    # J is the 2x3 Jacobian of the perspective projection at the (clamped) view point.
+    j00 = focal_x / tz
+    j02 = -(focal_x * tx) / (tz * tz)
+    j11 = focal_y / tz
+    j12 = -(focal_y * ty) / (tz * tz)
+
+    W = viewmat[:3, :3]  # [3, 3]
+    # M = J @ W : [N, 2, 3]
+    M0 = j00[:, None] * W[0][None, :] + j02[:, None] * W[2][None, :]
+    M1 = j11[:, None] * W[1][None, :] + j12[:, None] * W[2][None, :]
+
+    V = sym6_to_mat(cov3d)  # [N, 3, 3]
+    VM0 = jnp.einsum("nij,nj->ni", V, M0)
+    VM1 = jnp.einsum("nij,nj->ni", V, M1)
+    cxx = jnp.einsum("ni,ni->n", M0, VM0) + 0.3
+    cxy = jnp.einsum("ni,ni->n", M0, VM1)
+    cyy = jnp.einsum("ni,ni->n", M1, VM1) + 0.3
+    return jnp.stack([cxx, cxy, cyy], axis=-1)
+
+
+def sym6_to_mat(c6: jnp.ndarray) -> jnp.ndarray:
+    """(xx, xy, xz, yy, yz, zz) -> [..., 3, 3] symmetric matrix."""
+    xx, xy, xz, yy, yz, zz = (c6[..., i] for i in range(6))
+    row0 = jnp.stack([xx, xy, xz], axis=-1)
+    row1 = jnp.stack([xy, yy, yz], axis=-1)
+    row2 = jnp.stack([xz, yz, zz], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
+               viewmat: jnp.ndarray, projmat: jnp.ndarray,
+               tan_fovx, tan_fovy, width: int, height: int, tile: int,
+               scale_modifier: float = 1.0,
+               cov3d_precomp: jnp.ndarray | None = None) -> PreprocessOut:
+    """Vectorized equivalent of preprocessCUDA (forward.cu:156-256).
+
+    Args:
+        means3d: [N, 3] world positions.
+        scales: [N, 3] activated (positive) scales.
+        quats: [N, 4] normalized quaternions (w, x, y, z).
+        viewmat: [4, 4] world->view (math convention).
+        projmat: [4, 4] full projection = P @ V.
+        cov3d_precomp: optional [N, 6] precomputed world covariance.
+    """
+    focal_x = width / (2.0 * tan_fovx)
+    focal_y = height / (2.0 * tan_fovy)
+    grid_x = (width + tile - 1) // tile
+    grid_y = (height + tile - 1) // tile
+
+    p_view_z = means3d @ viewmat[2, :3] + viewmat[2, 3]
+    in_front = p_view_z > 0.2
+
+    p_hom = means3d @ projmat[:3, :3].T + projmat[:3, 3]
+    p_w = means3d @ projmat[3, :3] + projmat[3, 3]
+    inv_w = 1.0 / (p_w + 1e-7)
+    ndc_xy = p_hom[:, :2] * inv_w[:, None]
+    mean2d = jnp.stack(
+        [ndc_to_pixel(ndc_xy[:, 0], width), ndc_to_pixel(ndc_xy[:, 1], height)], axis=-1
+    )
+
+    cov3d = covariance_3d(scales, quats, scale_modifier) if cov3d_precomp is None else cov3d_precomp
+    cov = compute_cov2d(means3d, cov3d, viewmat, focal_x, focal_y, tan_fovx, tan_fovy)
+    cxx, cxy, cyy = cov[:, 0], cov[:, 1], cov[:, 2]
+    det = cxx * cyy - cxy * cxy
+    det_ok = det != 0.0
+    det_inv = 1.0 / jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack([cyy * det_inv, -cxy * det_inv, cxx * det_inv], axis=-1)
+
+    mid = 0.5 * (cxx + cyy)
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lambda1 = mid + disc
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, mid - disc)))
+
+    # Tile rectangle (auxiliary.h:46-56), exclusive max, clamped to the grid.
+    rx_min = jnp.clip(jnp.floor((mean2d[:, 0] - radius_f) / tile), 0, grid_x).astype(jnp.int32)
+    ry_min = jnp.clip(jnp.floor((mean2d[:, 1] - radius_f) / tile), 0, grid_y).astype(jnp.int32)
+    rx_max = jnp.clip(jnp.floor((mean2d[:, 0] + radius_f + tile - 1) / tile), 0, grid_x).astype(jnp.int32)
+    ry_max = jnp.clip(jnp.floor((mean2d[:, 1] + radius_f + tile - 1) / tile), 0, grid_y).astype(jnp.int32)
+    area = (rx_max - rx_min) * (ry_max - ry_min)
+
+    alive = in_front & det_ok & (area > 0)
+    radius = jnp.where(alive, radius_f, 0.0).astype(jnp.int32)
+    tiles_touched = jnp.where(alive, area, 0).astype(jnp.int32)
+
+    return PreprocessOut(
+        mean2d=mean2d,
+        conic=conic,
+        depth=p_view_z,
+        radius=radius,
+        tiles_touched=tiles_touched,
+        rect_min=jnp.stack([rx_min, ry_min], axis=-1),
+        rect_max=jnp.stack([rx_max, ry_max], axis=-1),
+        cov3d=cov3d,
+    )

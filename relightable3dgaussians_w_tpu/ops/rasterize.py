@@ -1,0 +1,148 @@
+"""Top-level differentiable Gaussian rasterizer: preprocess -> bin -> composite.
+
+TPU-native equivalent of the reference's `GaussianRasterizer` + `_RasterizeGaussians`
+autograd op + `CudaRasterizer::Rasterizer::forward/backward`
+(submodules/diff-gaussian-rasterization/diff_gaussian_rasterization/__init__.py:40-195,
+cuda_rasterizer/rasterizer_impl.cu:198-433), as one pure function. Differences by
+design (SURVEY.md §7):
+
+* colors are an arbitrary static channel count, so ALL of the reference's AOV passes
+  (color / diffuse / specular / depth / normal / alpha / debug maps — it re-rasterizes
+  identical geometry up to ~10x per step, gaussian_renderer/__init__.py:160-264)
+  fuse into ONE pass over the sorted entry list; the alpha map is 1 - T_final.
+* the `screenspace_points` zero-tensor gradient probe becomes an explicit
+  `mean2d_probe` argument: pass zeros of shape [N, 2] and differentiate w.r.t. it to
+  obtain the pixel-space mean2D gradients used by densification. Multiply by
+  (0.5*W, 0.5*H) to get the reference's NDC-unit contract (backward.cu:460-461).
+* static shapes: entry budgets + overflow counters instead of dynamically sized
+  buffers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .preprocess import preprocess
+from .binning import bin_gaussians, BinningOut
+from .composite import CompositeConfig, composite_tiles, composite_tiles_autodiff
+
+
+class RasterizerConfig(NamedTuple):
+    """Static rasterizer configuration (hashable -> usable as a jit static arg)."""
+    width: int
+    height: int
+    tile: int = 16
+    max_dup: int = 1 << 18           # total (Gaussian, tile) entry budget
+    max_tiles_per_gauss: int = 64    # per-Gaussian tile cap
+    lmax_per_tile: int = 1024        # per-tile compositing depth cap (jnp path)
+    tile_chunk: int = 16             # tiles per lax.map step
+    scale_modifier: float = 1.0
+
+    @property
+    def grid_x(self) -> int:
+        return (self.width + self.tile - 1) // self.tile
+
+    @property
+    def grid_y(self) -> int:
+        return (self.height + self.tile - 1) // self.tile
+
+
+class CameraMatrices(NamedTuple):
+    """Traced camera inputs (math convention: apply as M @ [p, 1])."""
+    viewmat: jnp.ndarray   # [4, 4] world -> view
+    projmat: jnp.ndarray   # [4, 4] full projection = P @ viewmat
+    campos: jnp.ndarray    # [3]
+    tan_fovx: jnp.ndarray  # scalar
+    tan_fovy: jnp.ndarray  # scalar
+
+
+class RasterizeAux(NamedTuple):
+    radii: jnp.ndarray        # [N] int32 screen radius (0 = culled)
+    visibility: jnp.ndarray   # [N] bool (radii > 0) — the reference's visibility_filter
+    depth: jnp.ndarray        # [N] view-space z per Gaussian
+    alpha: jnp.ndarray        # [H, W] 1 - T_final
+    num_entries: jnp.ndarray  # [] int32
+    overflow: jnp.ndarray     # [] int32 dropped entries (0 = exact render)
+
+
+def _gather_features(pre, binning: BinningOut, opacities, colors, mean2d_probe):
+    mean2d = pre.mean2d if mean2d_probe is None else pre.mean2d + mean2d_probe
+    gid = binning.gauss_id
+    feat = jnp.concatenate(
+        [
+            mean2d[gid],
+            pre.conic[gid],
+            opacities[gid][:, None] if opacities.ndim == 1 else opacities[gid],
+            colors[gid],
+        ],
+        axis=-1,
+    )
+    # Padding entries carry the sentinel tile id, so tile ranges never address them;
+    # no masking of feat rows is needed here.
+    return feat
+
+
+def _assemble_image(tiles_rgb, tiles_tfin, cfg: RasterizerConfig, channels: int):
+    gx, gy, t = cfg.grid_x, cfg.grid_y, cfg.tile
+    img = tiles_rgb.reshape(gy, gx, t, t, channels)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(gy * t, gx * t, channels)
+    tfin = tiles_tfin.reshape(gy, gx, t, t).transpose(0, 2, 1, 3).reshape(gy * t, gx * t)
+    return img[: cfg.height, : cfg.width], tfin[: cfg.height, : cfg.width]
+
+
+def rasterize_aux(means3d, scales, quats, cam: CameraMatrices, cfg: RasterizerConfig,
+                  cov3d_precomp=None):
+    """Preprocess + binning only (no compositing). Useful for visibility queries —
+    the analog of the reference's `markVisible` (rasterize_points.cu:194-213)."""
+    pre = preprocess(
+        means3d, scales, quats, cam.viewmat, cam.projmat, cam.tan_fovx, cam.tan_fovy,
+        cfg.width, cfg.height, cfg.tile, cfg.scale_modifier, cov3d_precomp,
+    )
+    binning = bin_gaussians(pre, cfg.grid_x, cfg.grid_y, cfg.max_dup, cfg.max_tiles_per_gauss)
+    return pre, binning
+
+
+def rasterize(means3d, scales, quats, opacities, colors, bg,
+              cam: CameraMatrices, cfg: RasterizerConfig,
+              mean2d_probe=None, cov3d_precomp=None, use_autodiff_twin: bool = False):
+    """Render depth-sorted alpha-composited Gaussians.
+
+    Args:
+        means3d: [N, 3] world positions.
+        scales: [N, 3] activated scales.
+        quats: [N, 4] normalized quaternions (w, x, y, z).
+        opacities: [N] or [N, 1] activated opacities in (0, 1).
+        colors: [N, C] per-Gaussian features to composite (the reference's
+            `colors_precomp`; C is static and may fuse many AOV channels).
+        bg: [C] background value per channel.
+        mean2d_probe: optional [N, 2] zeros; grad w.r.t. it = pixel-space dL/dmean2D.
+        cov3d_precomp: optional [N, 6] world covariance override.
+        use_autodiff_twin: route compositing through plain jax autodiff instead of the
+            analytic custom_vjp backward (parity testing only).
+
+    Returns:
+        image: [H, W, C]
+        aux: RasterizeAux
+    """
+    if opacities.ndim == 2:
+        opacities = opacities[:, 0]
+    pre, binning = rasterize_aux(means3d, scales, quats, cam, cfg, cov3d_precomp)
+    feat = _gather_features(pre, binning, opacities, colors, mean2d_probe)
+    ccfg = CompositeConfig(
+        grid_x=cfg.grid_x, grid_y=cfg.grid_y, tile=cfg.tile, channels=colors.shape[-1],
+        lmax_per_tile=cfg.lmax_per_tile, tile_chunk=cfg.tile_chunk,
+    )
+    composite = composite_tiles_autodiff if use_autodiff_twin else composite_tiles
+    tiles_rgb, tiles_tfin = composite(feat, binning.tile_start, binning.tile_end, bg, ccfg)
+    image, tfin = _assemble_image(tiles_rgb, tiles_tfin, cfg, colors.shape[-1])
+    aux = RasterizeAux(
+        radii=pre.radius,
+        visibility=pre.radius > 0,
+        depth=pre.depth,
+        alpha=1.0 - tfin,
+        num_entries=binning.num_entries,
+        overflow=binning.overflow,
+    )
+    return image, aux
