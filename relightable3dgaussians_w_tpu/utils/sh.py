@@ -110,14 +110,19 @@ def sh_basis(deg: int, dirs: jnp.ndarray) -> jnp.ndarray:
             C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)),
         ]
     if deg > 4:
+        # NOTE: two degree-5 entries are corrected relative to the reference's table
+        # (utils/sh_utils.py:138-150): m=-5 there is missing the factor y, and m=+1
+        # uses +15 where the associated Legendre polynomial has +1 (its m=-1 twin is
+        # correct). Both fixes are validated by the orthonormality quadrature test.
+        # Degrees 0-4 (all the reference's training path uses) match it exactly.
         out += [
-            C5[0] * (5 * xx * xx - 10 * yy * xx + yy * yy),
+            C5[0] * y * (5 * xx * xx - 10 * yy * xx + yy * yy),
             C5[1] * xy * z * (xx - yy),
             C5[2] * y * (9 * zz - 1) * (3 * xx - yy),
             C5[3] * xy * z * (3 * zz - 1),
             C5[4] * y * (zz * (-14 + 21 * zz) + 1),
             C5[5] * z * (zz * (63 * zz - 70) + 15),
-            C5[6] * x * (zz * (21 * zz - 14) + 15),
+            C5[6] * x * (zz * (21 * zz - 14) + 1),
             C5[7] * z * (xx - yy) * (-1 + 3 * zz),
             C5[8] * x * (xx - 3 * yy) * (-1 + 9 * zz),
             C5[9] * z * (xx * (xx - 6 * yy) + yy * yy),
