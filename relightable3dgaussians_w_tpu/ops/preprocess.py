@@ -84,7 +84,8 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
                viewmat: jnp.ndarray, projmat: jnp.ndarray,
                tan_fovx, tan_fovy, width: int, height: int, tile: int,
                scale_modifier: float = 1.0,
-               cov3d_precomp: jnp.ndarray | None = None) -> PreprocessOut:
+               cov3d_precomp: jnp.ndarray | None = None,
+               active: jnp.ndarray | None = None) -> PreprocessOut:
     """Vectorized equivalent of preprocessCUDA (forward.cu:156-256).
 
     Args:
@@ -94,6 +95,8 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
         viewmat: [4, 4] world->view (math convention).
         projmat: [4, 4] full projection = P @ V.
         cov3d_precomp: optional [N, 6] precomputed world covariance.
+        active: optional [N] bool — rows with False are culled outright (used for the
+            fixed-capacity Gaussian pool's alive mask).
     """
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
@@ -132,6 +135,8 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
     area = (rx_max - rx_min) * (ry_max - ry_min)
 
     alive = in_front & det_ok & (area > 0)
+    if active is not None:
+        alive = alive & active
     radius = jnp.where(alive, radius_f, 0.0).astype(jnp.int32)
     tiles_touched = jnp.where(alive, area, 0).astype(jnp.int32)
 

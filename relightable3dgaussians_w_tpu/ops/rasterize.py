@@ -93,12 +93,12 @@ def _assemble_image(tiles_rgb, tiles_tfin, cfg: RasterizerConfig, channels: int)
 
 
 def rasterize_aux(means3d, scales, quats, cam: CameraMatrices, cfg: RasterizerConfig,
-                  cov3d_precomp=None):
+                  cov3d_precomp=None, active=None):
     """Preprocess + binning only (no compositing). Useful for visibility queries —
     the analog of the reference's `markVisible` (rasterize_points.cu:194-213)."""
     pre = preprocess(
         means3d, scales, quats, cam.viewmat, cam.projmat, cam.tan_fovx, cam.tan_fovy,
-        cfg.width, cfg.height, cfg.tile, cfg.scale_modifier, cov3d_precomp,
+        cfg.width, cfg.height, cfg.tile, cfg.scale_modifier, cov3d_precomp, active,
     )
     binning = bin_gaussians(pre, cfg.grid_x, cfg.grid_y, cfg.max_dup, cfg.max_tiles_per_gauss)
     return pre, binning
@@ -106,7 +106,8 @@ def rasterize_aux(means3d, scales, quats, cam: CameraMatrices, cfg: RasterizerCo
 
 def rasterize(means3d, scales, quats, opacities, colors, bg,
               cam: CameraMatrices, cfg: RasterizerConfig,
-              mean2d_probe=None, cov3d_precomp=None, use_autodiff_twin: bool = False):
+              mean2d_probe=None, cov3d_precomp=None, active=None,
+              use_autodiff_twin: bool = False):
     """Render depth-sorted alpha-composited Gaussians.
 
     Args:
@@ -128,7 +129,7 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
     """
     if opacities.ndim == 2:
         opacities = opacities[:, 0]
-    pre, binning = rasterize_aux(means3d, scales, quats, cam, cfg, cov3d_precomp)
+    pre, binning = rasterize_aux(means3d, scales, quats, cam, cfg, cov3d_precomp, active)
     feat = _gather_features(pre, binning, opacities, colors, mean2d_probe)
     ccfg = CompositeConfig(
         grid_x=cfg.grid_x, grid_y=cfg.grid_y, tile=cfg.tile, channels=colors.shape[-1],

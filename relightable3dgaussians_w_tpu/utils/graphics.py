@@ -136,19 +136,20 @@ def covariance_3d(scales: jnp.ndarray, quats: jnp.ndarray, scale_modifier: float
 # ----------------------------------------------------------- depth -> points / normals
 
 
-def depths_to_points(depth: jnp.ndarray, c2w: jnp.ndarray, fovx: float, fovy: float) -> jnp.ndarray:
+def depths_to_points(depth: jnp.ndarray, c2w: jnp.ndarray, tan_fovx, tan_fovy) -> jnp.ndarray:
     """Backproject a depth map to world points (2DGS-style,
     reference utils/graphics_utils.py:141-156).
 
     Args:
         depth: [H, W] z-depth along camera forward axis.
         c2w: [4, 4] camera-to-world matrix (math convention).
+        tan_fovx, tan_fovy: tan(fov/2), python floats or traced scalars.
     Returns:
         [H, W, 3] world points.
     """
     H, W = depth.shape
-    fx = fov2focal(fovx, W)
-    fy = fov2focal(fovy, H)
+    fx = W / (2.0 * tan_fovx)
+    fy = H / (2.0 * tan_fovy)
     gx, gy = jnp.meshgrid(jnp.arange(W, dtype=depth.dtype), jnp.arange(H, dtype=depth.dtype), indexing="xy")
     # Pixel -> camera ray dirs (reference uses intrinsics with principal point W/2, H/2).
     dirs_cam = jnp.stack([(gx - W / 2.0) / fx, (gy - H / 2.0) / fy, jnp.ones_like(gx)], axis=-1)
@@ -157,10 +158,10 @@ def depths_to_points(depth: jnp.ndarray, c2w: jnp.ndarray, fovx: float, fovy: fl
     return depth[..., None] * rays_d + rays_o
 
 
-def depth_to_normal(depth: jnp.ndarray, c2w: jnp.ndarray, fovx: float, fovy: float) -> jnp.ndarray:
+def depth_to_normal(depth: jnp.ndarray, c2w: jnp.ndarray, tan_fovx, tan_fovy) -> jnp.ndarray:
     """Central-difference world-space normals from a depth map, zero on the 1px border
     (reference utils/graphics_utils.py:158-169)."""
-    points = depths_to_points(depth, c2w, fovx, fovy)
+    points = depths_to_points(depth, c2w, tan_fovx, tan_fovy)
     dx = points[2:, 1:-1] - points[:-2, 1:-1]
     dy = points[1:-1, 2:] - points[1:-1, :-2]
     n = jnp.cross(dx, dy)
