@@ -68,7 +68,9 @@ def get_scaling(p: GaussianParams) -> jnp.ndarray:
 
 
 def get_rotation(p: GaussianParams) -> jnp.ndarray:
-    return p.rotation / (jnp.linalg.norm(p.rotation, axis=-1, keepdims=True) + 1e-12)
+    from ..utils.graphics import safe_normalize
+
+    return safe_normalize(p.rotation)
 
 
 def get_opacity(p: GaussianParams, s: GaussianState) -> jnp.ndarray:
@@ -312,7 +314,7 @@ def densify_and_prune(key, params: GaussianParams, state: GaussianState, opt_mom
     # 1.0 (gaussian_model.py:573 omits the radius arg of cartesian_to_polar_coord),
     # which distorts theta for scenes with sky_radius != 1; we use the true radius.
     rel = samples - state.sky_center[None, None, :]
-    rel_n = rel / (jnp.linalg.norm(rel, axis=-1, keepdims=True) + 1e-12)
+    rel_n = rel * jax.lax.rsqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1, keepdims=True), 1e-20))
     sky_proj = state.sky_center[None, None, :] + params.sky_radius * rel_n
     sky_samples = cartesian_to_polar(sky_proj, state.sky_center, params.sky_radius)  # [S, cap, 2]
     new_scaling = jnp.log(scaling / (0.8 * n_split))

@@ -45,7 +45,9 @@ def compute_cov2d(p_orig: jnp.ndarray, cov3d: jnp.ndarray, viewmat: jnp.ndarray,
     t = p_orig @ viewmat[:3, :3].T + viewmat[:3, 3]
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
-    tz = t[:, 2]
+    # Near-culled rows (z <= 0.2, auxiliary.h:154) never reach compositing, but their
+    # values must stay finite: a 0/0 here would poison gradients via 0 * NaN.
+    tz = jnp.where(t[:, 2] > 0.2, t[:, 2], 1.0)
     txtz = t[:, 0] / tz
     tytz = t[:, 1] / tz
     tx = jnp.clip(txtz, -limx, limx) * tz
@@ -108,7 +110,7 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
 
     p_hom = means3d @ projmat[:3, :3].T + projmat[:3, 3]
     p_w = means3d @ projmat[3, :3] + projmat[3, 3]
-    inv_w = 1.0 / (p_w + 1e-7)
+    inv_w = jnp.where(in_front, 1.0 / (p_w + 1e-7), 0.0)
     ndc_xy = p_hom[:, :2] * inv_w[:, None]
     mean2d = jnp.stack(
         [ndc_to_pixel(ndc_xy[:, 0], width), ndc_to_pixel(ndc_xy[:, 1], height)], axis=-1
@@ -125,7 +127,8 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
     mid = 0.5 * (cxx + cyy)
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lambda1 = mid + disc
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, mid - disc)))
+    # max(..., 0): culled rows can carry garbage covariances; keep radius finite.
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(jnp.maximum(lambda1, mid - disc), 0.0)))
 
     # Tile rectangle (auxiliary.h:46-56), exclusive max, clamped to the grid.
     rx_min = jnp.clip(jnp.floor((mean2d[:, 0] - radius_f) / tile), 0, grid_x).astype(jnp.int32)

@@ -1,0 +1,224 @@
+"""Jitted training step: render -> loss stack -> Adam with per-group schedules.
+
+TPU-native equivalent of the reference's per-iteration body (train.py:55-163) plus its
+optimizer setup (relit3DGW_model.py:139-158, gaussian_model.py:259-293): one fused XLA
+program per step instead of a Python-driven sequence of CUDA launches. The
+screenspace-points gradient probe becomes an explicit differentiated argument; Adam
+runs as optax.scale_by_adam(eps=1e-15) followed by per-leaf learning rates (xyz /
+sky_angles on the log-lerp schedule, embeddings+mlp dropped to 2e-4 at iter 20k).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .config import Config
+from .models import gaussians as G
+from .models.nets import MLPNet
+from .ops.rasterize import RasterizerConfig, CameraMatrices
+from .renderer import render
+from .utils import losses as LO
+from .utils.general import expon_lr
+
+SPATIAL_LR_SCALE = 5.0  # gaussian_model.py:183 hardcodes spatial_lr_scale = 5
+
+
+class TrainState(NamedTuple):
+    params: Any               # {"gaussians": GaussianParams, "mlp": ..., "embeddings": [M, D]}
+    gauss_state: G.GaussianState
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class StepAux(NamedTuple):
+    loss: jnp.ndarray
+    l1: jnp.ndarray
+    psnr: jnp.ndarray
+    radii: jnp.ndarray
+    visibility: jnp.ndarray
+    overflow: jnp.ndarray
+    num_alive: jnp.ndarray
+
+
+def make_lr_tree(params, step, ocfg, cap_mask_dtype=jnp.float32):
+    """Per-leaf learning rates (training_setup groups, gaussian_model.py:264-281 +
+    relit3DGW_model.py:143-158)."""
+    o = ocfg
+    xyz_lr = expon_lr(step, o.position_lr_init * SPATIAL_LR_SCALE,
+                      o.position_lr_final * SPATIAL_LR_SCALE,
+                      lr_delay_mult=o.position_lr_delay_mult,
+                      max_steps=o.position_lr_max_steps)
+    net_lr = jnp.where(step >= 20_000, 0.0002, o.mlp_lr)
+    emb_lr = jnp.where(step >= 20_000, 0.0002, o.embeddings_lr)
+    g_lrs = G.GaussianParams(
+        xyz=xyz_lr,
+        albedo=jnp.asarray(o.albedo_lr),
+        opacity=jnp.asarray(o.opacity_lr),
+        scaling=jnp.asarray(o.scaling_lr * SPATIAL_LR_SCALE),
+        rotation=jnp.asarray(o.rotation_lr),
+        roughness=jnp.asarray(o.roughness_lr),
+        metalness=jnp.asarray(o.metalness_lr),
+        sky_angles=xyz_lr,
+        sky_radius=jnp.asarray(o.sky_radius_lr),
+    )
+    mlp_lrs = jax.tree_util.tree_map(lambda _: net_lr, params["mlp"])
+    return {"gaussians": g_lrs, "mlp": mlp_lrs, "embeddings": emb_lr}
+
+
+def make_optimizer():
+    """Adam(eps=1e-15) moments; lr applied separately via make_lr_tree."""
+    return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15)
+
+
+def forward_loss(params, gauss_state: G.GaussianState, mean2d_probe, mlp: MLPNet,
+                 cam: CameraMatrices, gt_image, sky_mask, occluders_mask, cam_uid,
+                 key, step, cfg: Config, rcfg: RasterizerConfig, bg_color):
+    """Loss stack of train.py:78-113. Returns (loss, aux dict)."""
+    o = cfg.optimizer
+    k_noise, k_drop, k_envl = jax.random.split(key, 3)
+
+    e = params["embeddings"][cam_uid][None]  # [1, D]
+    envlight_sh, sky_sh = mlp.apply({"params": params["mlp"]}, e, deterministic=False,
+                                    rngs={"dropout": k_drop})
+    envlight_sh = envlight_sh[0]             # [(deg+1)^2, 3]
+    noise = jax.random.normal(k_noise, envlight_sh.shape) * 0.025
+
+    out = render(
+        params["gaussians"], gauss_state, envlight_sh + noise, sky_sh,
+        cam, rcfg, bg_color, sky_mask,
+        envlight_sh_degree=cfg.model.envlight_sh_degree,
+        sky_sh_degree=cfg.model.sky_sh_degree,
+        specular=cfg.model.specular, fix_sky=cfg.model.fix_sky, debug=False,
+        mean2d_probe=mean2d_probe,
+    )
+
+    # Losses operate in the reference's [C, H, W] layout.
+    chw = lambda x: jnp.moveaxis(x, -1, 0)
+    image = chw(out.render)
+    gt = chw(gt_image)
+    occ3 = jnp.broadcast_to(occluders_mask[None], image.shape)
+    sky3 = jnp.broadcast_to(sky_mask[None], image.shape)
+
+    l1 = LO.l1_loss(image, gt, mask=occ3)
+    ssim_v = 1.0 - LO.ssim(image, gt, mask=occ3)
+    rec = l1 * (1 - o.lambda_dssim) + o.lambda_dssim * ssim_v
+    loss = rec
+
+    # Sky-region BRDF suppression (train.py:86-87): mask = 1 - sky_mask selects sky.
+    diff_c = chw(out.diffuse_color)
+    spec_c = chw(out.specular_color)
+    loss = loss + o.lambda_sky_brdf * (
+        LO.l1_loss(diff_c, jnp.zeros_like(diff_c), mask=1 - sky3)
+        + LO.l1_loss(spec_c, jnp.zeros_like(spec_c), mask=1 - sky3)
+    )
+
+    # Normal consistency after reg_normal_from_iter (train.py:90-96).
+    if o.lambda_normal > 0:
+        rn = chw(out.normal) * occ3 * sky3
+        rs = chw(out.normal_ref) * occ3 * sky3
+        ncl = o.lambda_normal * jnp.mean(1.0 - jnp.sum(rn * rs, axis=0))
+        loss = loss + jnp.where(step > o.reg_normal_from_iter, ncl, 0.0)
+
+    # Environment-light R+ constraint (train.py:99-102; added unweighted — the
+    # reference's lambda_envlight only gates the term on/off).
+    if o.lambda_envlight > 0:
+        loss = loss + LO.envl_sh_loss(k_envl, envlight_sh, cfg.model.envlight_sh_degree)
+
+    # Planar prior (train.py:105-107).
+    if o.lambda_scale > 0:
+        loss = loss + o.lambda_scale * LO.min_scale_loss(
+            G.get_scaling(params["gaussians"]), out.radii, gauss_state.is_sky
+        )
+
+    # Sky/foreground Gaussian depth separation (train.py:110-113).
+    if o.lambda_sky_gauss > 0:
+        dl = o.lambda_sky_gauss * LO.depth_loss_gaussians(
+            out.gauss_depth, gauss_state.is_sky, out.visibility_filter
+        )
+        loss = loss + jnp.where(step > o.reg_sky_gauss_depth_from_iter, dl, 0.0)
+
+    psnr = LO.psnr(image * occ3, gt * occ3)
+    aux = dict(l1=l1, psnr=psnr, radii=out.radii, visibility=out.visibility_filter,
+               overflow=out.overflow)
+    return loss, aux
+
+
+class TrainFns(NamedTuple):
+    train_step: Any
+    densify_step: Any
+    densify_step_sized: Any   # with the post-3k screen-size threshold
+    reset_opacity_step: Any
+
+
+def make_train_fns(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig) -> TrainFns:
+    """Build the jitted step functions for a fixed (mlp, config, raster-config)."""
+
+    def _train_step(state: TrainState, cam: CameraMatrices, gt_image, sky_mask,
+                    occluders_mask, cam_uid, key, bg_color):
+        n = state.gauss_state.alive.shape[0]
+        probe = jnp.zeros((n, 2))
+
+        (loss, aux), grads = jax.value_and_grad(forward_loss, argnums=(0, 2), has_aux=True)(
+            state.params, state.gauss_state, probe, mlp, cam, gt_image, sky_mask,
+            occluders_mask, cam_uid, key, state.step, cfg, rcfg, bg_color,
+        )
+        param_grads, probe_grad = grads
+
+        adam = make_optimizer()
+        updates, new_opt_state = adam.update(param_grads, state.opt_state, state.params)
+        lrs = make_lr_tree(state.params, state.step, cfg.optimizer)
+        updates = jax.tree_util.tree_map(lambda u, lr: -lr * u, updates, lrs)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # Densification statistics with the reference's NDC-unit mean2D gradient
+        # contract (backward.cu:460-461): pixel-space probe grads x (0.5*W, 0.5*H).
+        ndc_grad = probe_grad * jnp.asarray([0.5 * rcfg.width, 0.5 * rcfg.height])
+        new_gstate = G.add_densification_stats(state.gauss_state, ndc_grad,
+                                               aux["visibility"], aux["radii"])
+
+        new_state = TrainState(new_params, new_gstate, new_opt_state, state.step + 1)
+        step_aux = StepAux(
+            loss=loss, l1=aux["l1"], psnr=aux["psnr"], radii=aux["radii"],
+            visibility=aux["visibility"], overflow=aux["overflow"],
+            num_alive=G.num_alive(new_gstate),
+        )
+        return new_state, step_aux
+
+    def _densify(state: TrainState, key, grad_threshold, extent, max_screen_size):
+        adam_state = state.opt_state
+        mu_g, nu_g = adam_state.mu["gaussians"], adam_state.nu["gaussians"]
+        params_g, gstate, (mu_g, nu_g), report = G.densify_and_prune(
+            key, state.params["gaussians"], state.gauss_state, (mu_g, nu_g),
+            grad_threshold, 0.005, extent, max_screen_size,
+            percent_dense=cfg.optimizer.percent_dense,
+        )
+        new_opt = adam_state._replace(
+            mu=dict(adam_state.mu, gaussians=mu_g),
+            nu=dict(adam_state.nu, gaussians=nu_g),
+        )
+        return TrainState(dict(state.params, gaussians=params_g), gstate, new_opt, state.step), report
+
+    def _reset_opacity(state: TrainState):
+        adam_state = state.opt_state
+        params_g, (mu_g, nu_g) = G.reset_opacity(
+            state.params["gaussians"],
+            (adam_state.mu["gaussians"], adam_state.nu["gaussians"]),
+        )
+        new_opt = adam_state._replace(
+            mu=dict(adam_state.mu, gaussians=mu_g),
+            nu=dict(adam_state.nu, gaussians=nu_g),
+        )
+        return TrainState(dict(state.params, gaussians=params_g), state.gauss_state,
+                          new_opt, state.step)
+
+    return TrainFns(
+        train_step=jax.jit(_train_step),
+        densify_step=jax.jit(partial(_densify, max_screen_size=None)),
+        densify_step_sized=jax.jit(partial(_densify, max_screen_size=20)),
+        reset_opacity_step=jax.jit(_reset_opacity),
+    )

@@ -14,6 +14,7 @@ import math
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -77,13 +78,19 @@ def ndc_to_pixel(v: jnp.ndarray, size) -> jnp.ndarray:
 # ------------------------------------------------------------------- rotations / covs
 
 
+def safe_normalize(x: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
+    """x / |x| with a clamped squared norm so the gradient at x=0 is 0, not NaN
+    (the d|x|/dx = x/|x| singularity; same guard as NVDIFFREC util.py:27-31)."""
+    return x * jax.lax.rsqrt(jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True), eps))
+
+
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     """Unit quaternion (w, x, y, z) -> 3x3 rotation matrix, batched over leading dims.
 
     Standard 3DGS convention (reference utils/general_utils.py:98-119 after
     normalization). Input need not be normalized; we normalize here.
     """
-    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+    q = safe_normalize(q)
     r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     R = jnp.stack(
         [
@@ -164,8 +171,7 @@ def depth_to_normal(depth: jnp.ndarray, c2w: jnp.ndarray, tan_fovx, tan_fovy) ->
     points = depths_to_points(depth, c2w, tan_fovx, tan_fovy)
     dx = points[2:, 1:-1] - points[:-2, 1:-1]
     dy = points[1:-1, 2:] - points[1:-1, :-2]
-    n = jnp.cross(dx, dy)
-    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    n = safe_normalize(jnp.cross(dx, dy))
     return jnp.pad(n, ((1, 1), (1, 1), (0, 0)))
 
 

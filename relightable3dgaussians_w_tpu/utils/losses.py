@@ -50,13 +50,12 @@ def _blur(img: jnp.ndarray, win: jnp.ndarray, window_size: int) -> jnp.ndarray:
     img: [C, H, W].
     """
     pad = window_size // 2
-    C = img.shape[0]
-    x = img[:, None]  # [C, 1, H, W]
-    kh = jnp.broadcast_to(win.reshape(1, 1, window_size, 1), (C, 1, window_size, 1))
-    kw = jnp.broadcast_to(win.reshape(1, 1, 1, window_size), (C, 1, 1, window_size))
+    x = img[:, None]  # [C, 1, H, W]: channels ride the batch dim, 1 feature
+    kh = win.reshape(1, 1, window_size, 1)
+    kw = win.reshape(1, 1, 1, window_size)
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn, feature_group_count=C)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn, feature_group_count=C)
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn)
     return x[:, 0]
 
 
