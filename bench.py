@@ -1,0 +1,91 @@
+"""Headline benchmark: rasterizer fwd+bwd throughput (pixels/s/chip) at 1M Gaussians.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The reference publishes no numbers (BASELINE.md): `vs_baseline` is measured against a
+nominal 100 Mpix/s fwd+bwd for the reference CUDA rasterizer at ~1M Gaussians on an
+A100-class GPU (derived from typical 3DGS training-iteration timings; the reference's
+own training step invokes that rasterizer ~10x per iteration, which this framework
+fuses into one pass).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+NOMINAL_BASELINE_PIX_S = 100e6
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(n, W, H, seed=0):
+    from relightable3dgaussians_w_tpu.ops.rasterize import RasterizerConfig
+    from __graft_entry__ import _camera
+
+    rng = np.random.RandomState(seed)
+    means = np.stack([
+        rng.uniform(-2.5, 2.5, n), rng.uniform(-2.5, 2.5, n), rng.uniform(1.0, 10.0, n)
+    ], -1).astype(np.float32)
+    # Scales sized so mean tile coverage stays realistic (~2-6 tiles/Gaussian).
+    scales = rng.uniform(0.002, 0.012, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.2, 0.9, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    cam = _camera(W, H)
+    cfg = RasterizerConfig(
+        width=W, height=H,
+        max_dup=int(os.environ.get("BENCH_MAX_DUP", 1 << 22)),
+        max_tiles_per_gauss=16,
+        lmax_per_tile=int(os.environ.get("BENCH_LMAX", 4096)),
+        tile_chunk=int(os.environ.get("BENCH_TILE_CHUNK", 8)),
+    )
+    arrs = tuple(jnp.asarray(a) for a in (means, scales, quats, opac, colors))
+    return arrs, cam, cfg
+
+
+def main():
+    from relightable3dgaussians_w_tpu.ops.rasterize import rasterize
+
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    W = H = int(os.environ.get("BENCH_RES", 800))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    arrs, cam, cfg = build(n, W, H)
+    bg = jnp.zeros(3, jnp.float32)
+
+    def loss_fn(means, scales, quats, opac, colors):
+        img, aux = rasterize(means, scales, quats, opac, colors, bg, cam, cfg)
+        return jnp.sum(img) + jnp.sum(aux.alpha)
+
+    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+
+    # Warmup / compile + overflow sanity.
+    _, aux = jax.jit(lambda a: rasterize(*a, bg, cam, cfg))(arrs)
+    overflow = int(aux.overflow)
+    g = step(*arrs)
+    jax.block_until_ready(g)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = step(*arrs)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / iters
+
+    pix_s = W * H / dt
+    print(json.dumps({
+        "metric": f"splat_fwd_bwd_pixels_per_s_{n}g_{W}x{H}",
+        "value": pix_s,
+        "unit": "pixels/s/chip",
+        "vs_baseline": pix_s / NOMINAL_BASELINE_PIX_S,
+        "extra": {"ms_per_iter": dt * 1e3, "overflow_entries": overflow,
+                  "backend": jax.devices()[0].platform},
+    }))
+
+
+if __name__ == "__main__":
+    main()
