@@ -1,0 +1,86 @@
+"""Metrics CLI: PSNR/SSIM(/LPIPS) over saved render/gt directories.
+
+TPU-native equivalent of the reference's `metrics.py` (evaluate :32-142 and the
+`evaluate_half` right-half protocol :145-209 that pairs with left-half test-embedding
+fitting). Writes results.json / per_view.json next to the renders.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+from PIL import Image
+
+from ..utils import losses as LO
+from ..models.lpips import make_lpips_fn
+
+
+def _read_dir(path: str) -> dict[str, np.ndarray]:
+    out = {}
+    for name in sorted(os.listdir(path)):
+        if not name.lower().endswith((".png", ".jpg", ".jpeg")):
+            continue
+        with Image.open(os.path.join(path, name)) as im:
+            out[os.path.splitext(name)[0]] = np.asarray(im.convert("RGB"), np.float32) / 255.0
+    return out
+
+
+def evaluate_dir(renders_dir: str, gt_dir: str, half: bool = False,
+                 lpips_weights: str | None = None) -> dict:
+    renders = _read_dir(renders_dir)
+    gts = _read_dir(gt_dir)
+    lpips_fn = make_lpips_fn(lpips_weights)
+    per_view = {}
+    for name, im in renders.items():
+        if name not in gts:
+            continue
+        gt = gts[name]
+        if half:  # right half only (metrics.py:180-189)
+            im = im[:, im.shape[1] // 2 :]
+            gt = gt[:, gt.shape[1] // 2 :]
+        imc = jnp.moveaxis(jnp.asarray(im), -1, 0)
+        gtc = jnp.moveaxis(jnp.asarray(gt), -1, 0)
+        entry = {
+            "psnr": float(LO.psnr(imc, gtc)),
+            "ssim": float(LO.ssim(imc, gtc)),
+            "mse": float(LO.img2mse(imc, gtc)),
+        }
+        if lpips_fn is not None:
+            entry["lpips"] = float(lpips_fn(imc, gtc))
+        per_view[name] = entry
+    keys = next(iter(per_view.values())).keys() if per_view else []
+    summary = {k: float(np.mean([v[k] for v in per_view.values()])) for k in keys}
+    return {"summary": summary, "per_view": per_view}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    half = "--half" in argv
+    paths = [a for a in argv if not a.startswith("--")]
+    model_paths = paths or ["./output/run"]
+    for mp in model_paths:
+        results = {}
+        for split in ("train", "test"):
+            split_dir = os.path.join(mp, split)
+            if not os.path.isdir(split_dir):
+                continue
+            for it_dir in sorted(os.listdir(split_dir)):
+                renders = os.path.join(split_dir, it_dir, "renders")
+                gts = os.path.join(split_dir, it_dir, "gts")
+                if os.path.isdir(renders) and os.path.isdir(gts):
+                    res = evaluate_dir(renders, gts, half=half and split == "test")
+                    results[f"{split}/{it_dir}"] = res["summary"]
+                    with open(os.path.join(split_dir, it_dir, "per_view.json"), "w") as f:
+                        json.dump(res["per_view"], f, indent=2)
+        out_path = os.path.join(mp, "results.json")
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
