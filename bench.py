@@ -38,12 +38,14 @@ def build(n, W, H, seed=0):
     opac = rng.uniform(0.2, 0.9, n).astype(np.float32)
     colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
     cam = _camera(W, H)
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1" and jax.default_backend() == "tpu"
     cfg = RasterizerConfig(
         width=W, height=H,
         max_dup=int(os.environ.get("BENCH_MAX_DUP", 1 << 22)),
         max_tiles_per_gauss=16,
         lmax_per_tile=int(os.environ.get("BENCH_LMAX", 4096)),
         tile_chunk=int(os.environ.get("BENCH_TILE_CHUNK", 8)),
+        use_pallas=use_pallas,
     )
     arrs = tuple(jnp.asarray(a) for a in (means, scales, quats, opac, colors))
     return arrs, cam, cfg
@@ -83,7 +85,7 @@ def main():
         "unit": "pixels/s/chip",
         "vs_baseline": pix_s / NOMINAL_BASELINE_PIX_S,
         "extra": {"ms_per_iter": dt * 1e3, "overflow_entries": overflow,
-                  "backend": jax.devices()[0].platform},
+                  "backend": jax.devices()[0].platform, "pallas": cfg.use_pallas},
     }))
 
 

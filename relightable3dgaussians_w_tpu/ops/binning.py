@@ -88,3 +88,38 @@ def bin_gaussians(pre: PreprocessOut, grid_x: int, grid_y: int,
         num_entries=total.astype(jnp.int32),
         overflow=(dropped_cap + dropped_budget).astype(jnp.int32),
     )
+
+
+class AlignedEntries(NamedTuple):
+    gauss_id: jnp.ndarray      # [d_aligned] int32 per aligned entry (0 on padding)
+    valid: jnp.ndarray         # [d_aligned] bool
+    tile_start: jnp.ndarray    # [num_tiles] int32, multiples of `chunk`
+    tile_count: jnp.ndarray    # [num_tiles] int32 true entry counts
+
+
+def align_entries(binning: BinningOut, num_tiles: int, chunk: int,
+                  d_aligned: int) -> AlignedEntries:
+    """Re-scatter sorted entries so each tile's segment starts at a chunk-aligned
+    offset — the layout the Pallas kernels stream (TPU DMA requires lane-aligned
+    minor slices; CUDA had no such constraint on its flat point_list,
+    rasterizer_impl.cu:303-336).
+
+    Args:
+        d_aligned: static output size >= sum(ceil(count_t / chunk) * chunk). Choose
+            max_dup + num_tiles * chunk.
+    """
+    count = binning.tile_end - binning.tile_start
+    seg = ((count + chunk - 1) // chunk) * chunk
+    aligned_start = (jnp.cumsum(seg) - seg).astype(jnp.int32)
+
+    d = binning.gauss_id.shape[0]
+    e = jnp.arange(d, dtype=jnp.int32)
+    tile = binning.tile_id
+    safe_tile = jnp.minimum(tile, num_tiles - 1)
+    dest = aligned_start[safe_tile] + (e - binning.tile_start[safe_tile])
+    dest = jnp.where(tile < num_tiles, dest, d_aligned)  # drop padding entries
+
+    gauss_id = jnp.zeros((d_aligned,), jnp.int32).at[dest].set(binning.gauss_id, mode="drop")
+    valid = jnp.zeros((d_aligned,), bool).at[dest].set(True, mode="drop")
+    return AlignedEntries(gauss_id=gauss_id, valid=valid,
+                          tile_start=aligned_start, tile_count=count.astype(jnp.int32))

@@ -97,7 +97,8 @@ def _forward_one_tile(feat, tile_start, tile_end, bg, t, cfg: CompositeConfig):
     P_prev = jnp.concatenate([jnp.ones_like(P_inc[:1]), P_inc[:-1]], axis=0)
     include = P_inc >= T_EPS
     w = jnp.where(include, alpha * P_prev, 0.0)                      # [L, P]
-    color = jnp.einsum("lp,lc->pc", w, aux["colors"])                # MXU matmul
+    color = jnp.einsum("lp,lc->pc", w, aux["colors"],
+                       precision=jax.lax.Precision.HIGHEST)      # MXU matmul, f32
     T_fin = jnp.prod(jnp.where(include, one_m, 1.0), axis=0)         # [P]
     out = color + T_fin[:, None] * bg[None, :]
     return out, T_fin
@@ -145,7 +146,8 @@ def composite_backward(feat, tile_start, tile_end, bg, cfg: CompositeConfig,
         w = jnp.where(include, alpha * P_prev, 0.0)
         T_fin = jnp.prod(jnp.where(include, one_m, 1.0), axis=0)     # [P]
 
-        cdotg = jnp.einsum("lc,pc->lp", aux["colors"], gbar)         # [L, P]
+        cdotg = jnp.einsum("lc,pc->lp", aux["colors"], gbar,
+                           precision=jax.lax.Precision.HIGHEST)    # [L, P]
         wc = w * cdotg
         Q = jnp.cumsum(wc, axis=0)                                   # inclusive prefix
         total = Q[-1:]                                               # [1, P]
@@ -162,7 +164,8 @@ def composite_backward(feat, tile_start, tile_end, bg, cfg: CompositeConfig,
         op = aux["op"]
         dG = op[:, None] * d_alpha                                   # CUDA: unmasked by 0.99 sat
         d_op = jnp.sum(G * d_alpha, axis=1)                          # [L]
-        d_colors = jnp.einsum("lp,pc->lc", w, gbar)                  # [L, C]
+        d_colors = jnp.einsum("lp,pc->lc", w, gbar,
+                              precision=jax.lax.Precision.HIGHEST)  # [L, C]
 
         dx, dy = aux["dx"], aux["dy"]
         gdx = G * dx

@@ -1,0 +1,359 @@
+"""Pallas TPU kernels for depth-ordered tile compositing (forward + backward).
+
+The TPU-native replacement for the reference's `renderCUDA` forward/backward
+(cuda_rasterizer/forward.cu:261-374, backward.cu:399-557). Design (SURVEY.md §7):
+
+* grid = one program per 16x16 tile. The tile's depth-sorted entries live in HBM in a
+  TRANSPOSED layout feat_T [F, D_aligned] whose per-tile segments start at
+  chunk-aligned offsets (see ops/binning.py align_entries) so each DMA slice
+  [:, start + c*chunk : +chunk] is lane-aligned (TPU DMA requires 128-aligned minor
+  slices). Chunks stream through a double-buffered VMEM scratch.
+* the per-pixel sequential loop becomes, per chunk, a (P x CHUNK) alpha matrix on the
+  VPU (pixels on sublanes, entries on lanes) and a cumulative product computed in log
+  space via an upper-triangular MATMUL on the MXU (row cumsum = X @ U); the
+  early-termination predicate P >= 1e-4 is carried across chunks as the raw
+  transmittance product and the chunk loop stops early once every pixel terminated.
+* color accumulation and all backward reductions are MXU matmuls, so fusing many AOV
+  channels is nearly free.
+* the backward reruns the same forward-ordered recurrence (no back-to-front
+  re-rasterization): suffix sums come from one prefix cumsum plus the per-pixel total
+  reconstructed from the forward outputs; per-entry gradients are DMA'd to disjoint
+  slices of the output buffer — no atomics, bitwise deterministic.
+
+Numerics match the CUDA semantics: alpha = min(0.99, op * exp(power)), power > 0 and
+alpha < 1/255 skips, termination when T*(1-alpha) < 1e-4, and the backward's unmasked
+saturation gradient (backward.cu:498-499,538).
+
+Feature row layout (leading F dim): 0 mx, 1 my, 2 conic_a, 3 conic_b, 4 conic_c,
+5 opacity, 6.. colors; F is padded to a multiple of 8 with zero rows.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..composite import ALPHA_MIN, ALPHA_SAT, T_EPS
+
+NEG_LOG_EPS = -50.0  # exp(-50) ~ 2e-22: "zero" transmittance in log space
+
+
+def _pixel_coords(tx, ty, tile, P):
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (tx * tile).astype(jnp.float32) + jnp.remainder(pix, tile).astype(jnp.float32)
+    py = (ty * tile).astype(jnp.float32) + (pix // tile).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_alpha(rows, valid_len, px, py, chunk):
+    """rows: [F, CHUNK]; returns alpha [P, CHUNK] and aux terms."""
+    mx = rows[0:1, :]
+    my = rows[1:2, :]
+    ca = rows[2:3, :]
+    cb = rows[3:4, :]
+    cc = rows[4:5, :]
+    op = rows[5:6, :]
+    dx = mx - px                      # [P, CHUNK]
+    dy = my - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    G = jnp.exp(jnp.minimum(power, 0.0))
+    alpha_raw = jnp.minimum(ALPHA_SAT, op * G)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    invalid = lane >= valid_len
+    skip = (power > 0.0) | (alpha_raw < ALPHA_MIN) | invalid
+    alpha = jnp.where(skip, 0.0, alpha_raw)
+    return alpha, dict(G=G, dx=dx, dy=dy, skip=skip, op=op, ca=ca, cb=cb, cc=cc)
+
+
+def _triu(chunk, strict):
+    r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return jnp.where(r < c if strict else r <= c, 1.0, 0.0)
+
+
+def _contract_lanes(a, b):
+    """a: [P, K], b: [C, K] -> [P, C] contracting the lane dim."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+
+
+# ------------------------------------------------------------------------- forward
+
+
+def _fwd_kernel(starts_ref, counts_ref, feat_hbm, out_ref, tfin_ref,
+                scratch, sems, *, tile, chunk, channels, f_pad, grid_x):
+    t = pl.program_id(0)
+    tx = t % grid_x
+    ty = t // grid_x
+    start = starts_ref[t]
+    count = counts_ref[t]
+    P = tile * tile
+    n_chunks = pl.cdiv(count, chunk)
+    px, py = _pixel_coords(tx, ty, tile, P)
+    Us = _triu(chunk, strict=True)
+
+    def get_dma(slot, c_idx):
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(pl.multiple_of(start + c_idx * chunk, chunk), chunk)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(carry):
+        c_idx, log_praw, acc, log_tfin = carry
+        slot = jnp.remainder(c_idx, 2)
+
+        @pl.when(c_idx + 1 < n_chunks)
+        def _():
+            get_dma(jnp.remainder(c_idx + 1, 2), c_idx + 1).start()
+
+        get_dma(slot, c_idx).wait()
+        rows = scratch[slot]
+        valid_len = count - c_idx * chunk
+        alpha, _ = _chunk_alpha(rows, valid_len, px, py, chunk)
+
+        log1m = jnp.log(1.0 - alpha)
+        excl = jnp.dot(log1m, Us, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + log_praw
+        log_p_inc = excl + log1m
+        include = log_p_inc >= jnp.log(T_EPS)
+        w = jnp.where(include, alpha * jnp.exp(excl), 0.0)      # [P, CHUNK]
+
+        colors = rows[6 : 6 + channels, :]                       # [C, CHUNK]
+        acc = acc + _contract_lanes(w, colors)                   # [P, C]
+        log_tfin = log_tfin + jnp.sum(jnp.where(include, log1m, 0.0), axis=1, keepdims=True)
+        log_praw = jnp.maximum(log_praw + jnp.sum(log1m, axis=1, keepdims=True),
+                               NEG_LOG_EPS)
+        return c_idx + 1, log_praw, acc, log_tfin
+
+    def cond(carry):
+        c_idx, log_praw, _, _ = carry
+        return (c_idx < n_chunks) & (jnp.max(log_praw) >= jnp.log(T_EPS))
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((P, 1), jnp.float32),
+        jnp.zeros((P, channels), jnp.float32),
+        jnp.zeros((P, 1), jnp.float32),
+    )
+    _, _, acc, log_tfin = jax.lax.while_loop(cond, body, init)
+    out_ref[0] = acc
+    tfin_ref[0] = jnp.exp(log_tfin)
+
+
+def composite_forward_pallas(feat_t, tile_start, tile_count, bg, *, grid_x, grid_y,
+                             channels, tile=16, chunk=256, interpret=False):
+    """feat_t: [F_pad, D_aligned] transposed entry features with chunk-aligned tile
+    segments. Returns (tiles_rgb [T, P, C], tiles_tfin [T, P])."""
+    f_pad, D = feat_t.shape
+    num_tiles = grid_x * grid_y
+    P = tile * tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, P, channels), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, f_pad, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_fwd_kernel, tile=tile, chunk=chunk,
+                               channels=channels, f_pad=f_pad, grid_x=grid_x)
+    tiles_rgb, tiles_tfin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, P, channels), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, P, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tile_start, tile_count, feat_t)
+    tiles_tfin = tiles_tfin[..., 0]
+    tiles_rgb = tiles_rgb + tiles_tfin[..., None] * bg[None, None, :]
+    return tiles_rgb, tiles_tfin
+
+
+# ------------------------------------------------------------------------ backward
+
+
+def _bwd_kernel(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
+                tfin_ref, dfeat_hbm, scratch, out_scratch, sems, out_sems,
+                *, tile, chunk, channels, f_pad, grid_x):
+    t = pl.program_id(0)
+    tx = t % grid_x
+    ty = t // grid_x
+    start = starts_ref[t]
+    count = counts_ref[t]
+    P = tile * tile
+    n_chunks = pl.cdiv(count, chunk)
+    px, py = _pixel_coords(tx, ty, tile, P)
+    Us = _triu(chunk, strict=True)
+    Ui = _triu(chunk, strict=False)
+
+    gbar = gbar_ref[0]        # [P, C]
+    total = total_ref[0]      # [P, 1]
+    B = b_ref[0]              # [P, 1]
+    tfin = tfin_ref[0]        # [P, 1]
+
+    def get_dma(slot, c_idx):
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(pl.multiple_of(start + c_idx * chunk, chunk), chunk)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    def put_dma(slot, c_idx):
+        return pltpu.make_async_copy(
+            out_scratch.at[slot],
+            dfeat_hbm.at[:, pl.ds(pl.multiple_of(start + c_idx * chunk, chunk), chunk)],
+            out_sems.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(c_idx, carry):
+        log_praw, q_carry = carry
+        slot = jnp.remainder(c_idx, 2)
+
+        @pl.when(c_idx + 1 < n_chunks)
+        def _():
+            get_dma(jnp.remainder(c_idx + 1, 2), c_idx + 1).start()
+
+        get_dma(slot, c_idx).wait()
+        rows = scratch[slot]
+        valid_len = count - c_idx * chunk
+        alpha, aux = _chunk_alpha(rows, valid_len, px, py, chunk)
+
+        log1m = jnp.log(1.0 - alpha)
+        excl = jnp.dot(log1m, Us, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + log_praw
+        log_p_inc = excl + log1m
+        include = log_p_inc >= jnp.log(T_EPS)
+        p_prev = jnp.exp(excl)
+        w = jnp.where(include, alpha * p_prev, 0.0)
+
+        colors = rows[6 : 6 + channels, :]                         # [C, CHUNK]
+        cdotg = jnp.dot(gbar, colors, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [P, CHUNK]
+        wc = w * cdotg
+        q_inc = jnp.dot(wc, Ui, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + q_carry
+        S = total - q_inc                                           # suffix sums
+
+        contrib = include & (~aux["skip"])
+        d_alpha = jnp.where(
+            contrib, p_prev * cdotg - (S + tfin * B) / (1.0 - alpha), 0.0
+        )
+        G = aux["G"]
+        op = aux["op"]
+        dG = op * d_alpha                                           # dL/dG
+        d_op = jnp.sum(G * d_alpha, axis=0, keepdims=True)          # [1, CHUNK]
+        d_colors = jax.lax.dot_general(                             # [C, CHUNK]
+            gbar, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        gdx = G * aux["dx"]
+        gdy = G * aux["dy"]
+        d_mx = jnp.sum(dG * (-(gdx * aux["ca"] + gdy * aux["cb"])), axis=0, keepdims=True)
+        d_my = jnp.sum(dG * (-(gdy * aux["cc"] + gdx * aux["cb"])), axis=0, keepdims=True)
+        d_ca = jnp.sum(-0.5 * gdx * aux["dx"] * dG, axis=0, keepdims=True)
+        d_cb = jnp.sum(-(gdx * aux["dy"]) * dG, axis=0, keepdims=True)
+        d_cc = jnp.sum(-0.5 * gdy * aux["dy"] * dG, axis=0, keepdims=True)
+
+        @pl.when(c_idx >= 2)
+        def _():
+            put_dma(slot, c_idx - 2).wait()
+
+        out_scratch[slot, 0:1] = d_mx
+        out_scratch[slot, 1:2] = d_my
+        out_scratch[slot, 2:3] = d_ca
+        out_scratch[slot, 3:4] = d_cb
+        out_scratch[slot, 4:5] = d_cc
+        out_scratch[slot, 5:6] = d_op
+        out_scratch[slot, 6 : 6 + channels] = d_colors
+        @pl.when(6 + channels < f_pad)
+        def _():
+            out_scratch[slot, 6 + channels :] = jnp.zeros(
+                (f_pad - 6 - channels, chunk), jnp.float32
+            )
+        put_dma(slot, c_idx).start()
+
+        log_praw = jnp.maximum(log_praw + jnp.sum(log1m, axis=1, keepdims=True),
+                               NEG_LOG_EPS)
+        q_carry = q_carry + jnp.sum(wc, axis=1, keepdims=True)
+        return log_praw, q_carry
+
+    init = (jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32))
+    jax.lax.fori_loop(0, n_chunks, body, init)
+
+    @pl.when(n_chunks >= 2)
+    def _():
+        put_dma(jnp.remainder(n_chunks - 2, 2), n_chunks - 2).wait()
+
+    @pl.when(n_chunks >= 1)
+    def _():
+        put_dma(jnp.remainder(n_chunks - 1, 2), n_chunks - 1).wait()
+
+
+def composite_backward_pallas(feat_t, tile_start, tile_count, bg, tiles_rgb,
+                              tiles_tfin, g_tiles, g_tfin, *, grid_x, grid_y,
+                              channels, tile=16, chunk=256, interpret=False):
+    """Analytic backward on TPU. Returns (d_feat_t [F_pad, D], d_bg [C]).
+
+    Args:
+        tiles_rgb/tiles_tfin: forward outputs (residuals).
+        g_tiles: [T, P, C] pixel cotangents; g_tfin: [T, P].
+    """
+    f_pad, D = feat_t.shape
+    num_tiles = grid_x * grid_y
+    P = tile * tile
+
+    # Per-pixel scalars precomputed outside the kernel (cheap elementwise):
+    # total = (out - tfin*bg).gbar ;  B = bg.gbar + gbar_tfin.
+    total = jnp.sum((tiles_rgb - tiles_tfin[..., None] * bg) * g_tiles, axis=-1)
+    B = g_tiles @ bg + g_tfin
+    d_bg = jnp.einsum("tp,tpc->c", tiles_tfin, g_tiles)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                       # feat_t
+            pl.BlockSpec((1, P, channels), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, f_pad, chunk), jnp.float32),
+            pltpu.VMEM((2, f_pad, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_bwd_kernel, tile=tile, chunk=chunk,
+                               channels=channels, f_pad=f_pad, grid_x=grid_x)
+    d_feat_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((f_pad, D), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        tile_start, tile_count, feat_t, g_tiles,
+        total[..., None], B[..., None], tiles_tfin[..., None],
+    )
+    return d_feat_t, d_bg

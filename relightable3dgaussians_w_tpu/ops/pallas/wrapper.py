@@ -1,0 +1,55 @@
+"""custom_vjp wrapper around the Pallas tile-compositing kernels."""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .tile_composite import composite_forward_pallas, composite_backward_pallas
+
+
+class PallasCompositeConfig(NamedTuple):
+    grid_x: int
+    grid_y: int
+    channels: int
+    tile: int = 16
+    chunk: int = 256
+    interpret: bool = False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def composite_tiles_pallas(feat_t, tile_start, tile_count, bg, cfg: PallasCompositeConfig):
+    """feat_t: [F_pad, D_aligned]; returns (tiles_rgb [T, P, C], tiles_tfin [T, P])."""
+    return composite_forward_pallas(
+        feat_t, tile_start, tile_count, bg,
+        grid_x=cfg.grid_x, grid_y=cfg.grid_y, channels=cfg.channels, tile=cfg.tile,
+        chunk=cfg.chunk, interpret=cfg.interpret,
+    )
+
+
+def _fwd(feat_t, tile_start, tile_count, bg, cfg):
+    out = composite_tiles_pallas(feat_t, tile_start, tile_count, bg, cfg)
+    return out, (feat_t, tile_start, tile_count, bg, out[0], out[1])
+
+
+def _bwd(cfg, res, cots):
+    feat_t, tile_start, tile_count, bg, tiles_rgb, tiles_tfin = res
+    g_tiles, g_tfin = cots
+    d_feat_t, d_bg = composite_backward_pallas(
+        feat_t, tile_start, tile_count, bg, tiles_rgb, tiles_tfin, g_tiles, g_tfin,
+        grid_x=cfg.grid_x, grid_y=cfg.grid_y, channels=cfg.channels, tile=cfg.tile,
+        chunk=cfg.chunk, interpret=cfg.interpret,
+    )
+    # Columns past the last tile segment are never written by the kernel
+    # (uninitialized memory) — mask them before the gather-transpose scatters
+    # them back into Gaussian rows.
+    seg_last = tile_start[-1] + ((tile_count[-1] + cfg.chunk - 1) // cfg.chunk) * cfg.chunk
+    col = jnp.arange(feat_t.shape[1], dtype=jnp.int32)
+    d_feat_t = jnp.where(col[None, :] < seg_last, d_feat_t, 0.0)
+    return d_feat_t, None, None, d_bg
+
+
+composite_tiles_pallas.defvjp(_fwd, _bwd)

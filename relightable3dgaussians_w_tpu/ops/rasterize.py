@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from .preprocess import preprocess
-from .binning import bin_gaussians, BinningOut
+from .binning import bin_gaussians, align_entries, BinningOut
 from .composite import CompositeConfig, composite_tiles, composite_tiles_autodiff
 
 
@@ -39,6 +39,9 @@ class RasterizerConfig(NamedTuple):
     lmax_per_tile: int = 1024        # per-tile compositing depth cap (jnp path)
     tile_chunk: int = 16             # tiles per lax.map step
     scale_modifier: float = 1.0
+    use_pallas: bool = False         # stream tiles through the Pallas TPU kernels
+    pallas_chunk: int = 256          # entries per streamed chunk (Pallas path)
+    pallas_interpret: bool = False   # interpreter mode (CPU testing)
 
     @property
     def grid_x(self) -> int:
@@ -82,6 +85,28 @@ def _gather_features(pre, binning: BinningOut, opacities, colors, mean2d_probe):
     # Padding entries carry the sentinel tile id, so tile ranges never address them;
     # no masking of feat rows is needed here.
     return feat
+
+
+def _gather_features_t(pre, aligned, opacities, colors, mean2d_probe):
+    """Transposed feature gather [F_pad, D_aligned] for the Pallas path. Alignment
+    padding entries alias Gaussian 0 but are masked inside the kernel by the per-tile
+    count and receive zero gradients."""
+    mean2d = pre.mean2d if mean2d_probe is None else pre.mean2d + mean2d_probe
+    gid = aligned.gauss_id
+    rows = [
+        mean2d[gid, 0][None], mean2d[gid, 1][None],
+        pre.conic[gid, 0][None], pre.conic[gid, 1][None], pre.conic[gid, 2][None],
+        opacities[gid][None],
+        colors.T[:, gid],
+    ]
+    feat_t = jnp.concatenate(rows, axis=0)
+    f = feat_t.shape[0]
+    f_pad = ((f + 7) // 8) * 8
+    if f_pad != f:
+        feat_t = jnp.concatenate(
+            [feat_t, jnp.zeros((f_pad - f, feat_t.shape[1]), feat_t.dtype)], axis=0
+        )
+    return feat_t
 
 
 def _assemble_image(tiles_rgb, tiles_tfin, cfg: RasterizerConfig, channels: int):
@@ -130,13 +155,27 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
     if opacities.ndim == 2:
         opacities = opacities[:, 0]
     pre, binning = rasterize_aux(means3d, scales, quats, cam, cfg, cov3d_precomp, active)
-    feat = _gather_features(pre, binning, opacities, colors, mean2d_probe)
-    ccfg = CompositeConfig(
-        grid_x=cfg.grid_x, grid_y=cfg.grid_y, tile=cfg.tile, channels=colors.shape[-1],
-        lmax_per_tile=cfg.lmax_per_tile, tile_chunk=cfg.tile_chunk,
-    )
-    composite = composite_tiles_autodiff if use_autodiff_twin else composite_tiles
-    tiles_rgb, tiles_tfin = composite(feat, binning.tile_start, binning.tile_end, bg, ccfg)
+    if cfg.use_pallas and not use_autodiff_twin:
+        from .pallas.wrapper import PallasCompositeConfig, composite_tiles_pallas
+
+        num_tiles = cfg.grid_x * cfg.grid_y
+        d_aligned = cfg.max_dup + num_tiles * cfg.pallas_chunk
+        aligned = align_entries(binning, num_tiles, cfg.pallas_chunk, d_aligned)
+        feat_t = _gather_features_t(pre, aligned, opacities, colors, mean2d_probe)
+        pcfg = PallasCompositeConfig(grid_x=cfg.grid_x, grid_y=cfg.grid_y,
+                                     channels=colors.shape[-1], tile=cfg.tile,
+                                     chunk=cfg.pallas_chunk,
+                                     interpret=cfg.pallas_interpret)
+        tiles_rgb, tiles_tfin = composite_tiles_pallas(
+            feat_t, aligned.tile_start, aligned.tile_count, bg, pcfg)
+    else:
+        feat = _gather_features(pre, binning, opacities, colors, mean2d_probe)
+        ccfg = CompositeConfig(
+            grid_x=cfg.grid_x, grid_y=cfg.grid_y, tile=cfg.tile, channels=colors.shape[-1],
+            lmax_per_tile=cfg.lmax_per_tile, tile_chunk=cfg.tile_chunk,
+        )
+        composite = composite_tiles_autodiff if use_autodiff_twin else composite_tiles
+        tiles_rgb, tiles_tfin = composite(feat, binning.tile_start, binning.tile_end, bg, ccfg)
     image, tfin = _assemble_image(tiles_rgb, tiles_tfin, cfg, colors.shape[-1])
     aux = RasterizeAux(
         radii=pre.radius,
