@@ -88,25 +88,18 @@ def _gather_features(pre, binning: BinningOut, opacities, colors, mean2d_probe):
 
 
 def _gather_features_t(pre, aligned, opacities, colors, mean2d_probe):
-    """Transposed feature gather [F_pad, D_aligned] for the Pallas path. Alignment
+    """Transposed feature gather [F_pad, D_aligned] for the Pallas path: ONE fused
+    per-Gaussian feature pack [N, F_pad], one row gather, one transpose. Alignment
     padding entries alias Gaussian 0 but are masked inside the kernel by the per-tile
     count and receive zero gradients."""
     mean2d = pre.mean2d if mean2d_probe is None else pre.mean2d + mean2d_probe
-    gid = aligned.gauss_id
-    rows = [
-        mean2d[gid, 0][None], mean2d[gid, 1][None],
-        pre.conic[gid, 0][None], pre.conic[gid, 1][None], pre.conic[gid, 2][None],
-        opacities[gid][None],
-        colors.T[:, gid],
-    ]
-    feat_t = jnp.concatenate(rows, axis=0)
-    f = feat_t.shape[0]
+    f = 6 + colors.shape[-1]
     f_pad = ((f + 7) // 8) * 8
+    parts = [mean2d, pre.conic, opacities[:, None], colors]
     if f_pad != f:
-        feat_t = jnp.concatenate(
-            [feat_t, jnp.zeros((f_pad - f, feat_t.shape[1]), feat_t.dtype)], axis=0
-        )
-    return feat_t
+        parts.append(jnp.zeros((colors.shape[0], f_pad - f), colors.dtype))
+    feat_pack = jnp.concatenate(parts, axis=-1)      # [N, F_pad]
+    return feat_pack[aligned.gauss_id].T             # [F_pad, D_aligned]
 
 
 def _assemble_image(tiles_rgb, tiles_tfin, cfg: RasterizerConfig, channels: int):
