@@ -100,6 +100,7 @@ class Relightable3DGWTrainer:
         sky_pts, sky_radius, sky_center = seed_sky_points(k_sky, pts, self.train_cameras)
         n_total = len(pts) + len(sky_pts)
         capacity = cfg.runtime.pool_capacity or int(n_total * cfg.runtime.pool_headroom)
+        capacity = max(capacity, int(n_total * 1.25))  # never below what init needs
         params_g, gstate = G.init_from_points(pts, d2, capacity)
         sky_d2 = knn_dist2(sky_pts) if len(sky_pts) > 3 else np.full(len(sky_pts), 1e-4)
         params_g, gstate = G.augment_with_sky(params_g, gstate, sky_pts, sky_d2,
