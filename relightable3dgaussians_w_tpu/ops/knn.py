@@ -19,8 +19,17 @@ import jax
 import jax.numpy as jnp
 
 
-def knn_dist2(points: np.ndarray, k: int = 3) -> np.ndarray:
-    """Mean squared distance from each point to its k nearest neighbors (exact)."""
+def knn_dist2(points: np.ndarray, k: int = 3, prefer_native: bool = True) -> np.ndarray:
+    """Mean squared distance from each point to its k nearest neighbors (exact).
+
+    Uses the native C++ box-pruned implementation (native/src/r3dgw_native.cpp, the
+    simple-knn design) when built, else scipy's cKDTree."""
+    if prefer_native and k <= 8:
+        from ..native import knn_mean_dist2_native
+
+        out = knn_mean_dist2_native(np.asarray(points), k)
+        if out is not None:
+            return out
     from scipy.spatial import cKDTree
 
     tree = cKDTree(points)
