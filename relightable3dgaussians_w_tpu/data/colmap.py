@@ -95,7 +95,16 @@ def read_images_binary(path: str) -> dict[int, ColmapImage]:
 
 
 def read_points3d_binary(path: str):
-    """Returns (xyz [N, 3], rgb [N, 3] uint8, error [N])."""
+    """Returns (xyz [N, 3], rgb [N, 3] uint8, error [N]). Uses the native C++
+    parser when built (variable-length track records defeat numpy vectorization)."""
+    try:
+        from ..native import read_points3d_binary_native
+
+        out = read_points3d_binary_native(path)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
         xyz = np.empty((n, 3))
