@@ -108,19 +108,26 @@ def _fwd_kernel(starts_ref, counts_ref, feat_hbm, out_ref, tfin_ref,
         get_dma(0, 0).start()
 
     def body(carry):
-        c_idx, log_praw, acc, log_tfin = carry
+        c_idx, _, log_praw, acc, log_tfin = carry
         slot = jnp.remainder(c_idx, 2)
-
-        @pl.when(c_idx + 1 < n_chunks)
-        def _():
-            get_dma(jnp.remainder(c_idx + 1, 2), c_idx + 1).start()
 
         get_dma(slot, c_idx).wait()
         rows = scratch[slot]
         valid_len = count - c_idx * chunk
         alpha, _ = _chunk_alpha(rows, valid_len, px, py, chunk)
-
         log1m = jnp.log(1.0 - alpha)
+        log_praw_new = jnp.maximum(log_praw + jnp.sum(log1m, axis=1, keepdims=True),
+                                   NEG_LOG_EPS)
+
+        # Prefetch the next chunk only if the loop will actually continue —
+        # exiting with an un-awaited DMA in flight is undefined behavior. Deciding
+        # after the (cheap) alpha pass still overlaps the DMA with the matmuls.
+        cont = (c_idx + 1 < n_chunks) & (jnp.max(log_praw_new) >= jnp.log(T_EPS))
+
+        @pl.when(cont)
+        def _():
+            get_dma(jnp.remainder(c_idx + 1, 2), c_idx + 1).start()
+
         excl = jnp.dot(log1m, Us, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + log_praw
         log_p_inc = excl + log1m
         include = log_p_inc >= jnp.log(T_EPS)
@@ -129,21 +136,20 @@ def _fwd_kernel(starts_ref, counts_ref, feat_hbm, out_ref, tfin_ref,
         colors = rows[6 : 6 + channels, :]                       # [C, CHUNK]
         acc = acc + _contract_lanes(w, colors)                   # [P, C]
         log_tfin = log_tfin + jnp.sum(jnp.where(include, log1m, 0.0), axis=1, keepdims=True)
-        log_praw = jnp.maximum(log_praw + jnp.sum(log1m, axis=1, keepdims=True),
-                               NEG_LOG_EPS)
-        return c_idx + 1, log_praw, acc, log_tfin
+        return c_idx + 1, cont, log_praw_new, acc, log_tfin
 
     def cond(carry):
-        c_idx, log_praw, _, _ = carry
-        return (c_idx < n_chunks) & (jnp.max(log_praw) >= jnp.log(T_EPS))
+        _, cont, _, _, _ = carry
+        return cont
 
     init = (
         jnp.int32(0),
+        n_chunks > 0,
         jnp.zeros((P, 1), jnp.float32),
         jnp.zeros((P, channels), jnp.float32),
         jnp.zeros((P, 1), jnp.float32),
     )
-    _, _, acc, log_tfin = jax.lax.while_loop(cond, body, init)
+    _, _, _, acc, log_tfin = jax.lax.while_loop(cond, body, init)
     out_ref[0] = acc
     tfin_ref[0] = jnp.exp(log_tfin)
 
