@@ -118,10 +118,12 @@ def main(argv=None):
         from ..evaluation import optimize_test_embeddings
 
         test_views, _, _ = pad_cameras(trainer.test_cameras)
+        # normal init — zeros are a dead point for the ReLU MLP (no gradient).
         emb_t = optimize_test_embeddings(
             trainer.state.params, trainer.state.gauss_state, trainer.mlp, test_views,
             cfg, trainer.rcfg,
-            jnp.zeros((len(test_views), cfg.model.embeddings_dim)),
+            jax.random.normal(jax.random.PRNGKey(cfg.runtime.seed),
+                              (len(test_views), cfg.model.embeddings_dim)),
         )
         render_set(trainer, "test", iteration, test_views, emb_t)
 
