@@ -3,16 +3,26 @@
 TPU-native re-design of the reference's CUB pipeline (`duplicateWithKeys` +
 `DeviceRadixSort` + `identifyTileRanges`, cuda_rasterizer/rasterizer_impl.cu:70-138,
 198-336). The CUDA code sizes its key buffer from a device->host read of the scanned
-duplicate count; XLA requires static shapes, so this version uses a *static duplicate
-budget* (`max_dup`) plus per-Gaussian tile cap (`max_tiles_per_gauss`) and reports
-overflow counters instead of resizing — correctness degrades loudly (see SURVEY.md §7
-"Hard parts"). Sorting uses `jax.lax.sort` with lexicographic (tile, depth) keys, which
-replaces the packed 64-bit [tileID‖float-depth-bits] radix keys; both orderings agree
-for the positive depths that survive the z>0.2 near cull.
+duplicate count; XLA requires static shapes, so this version uses a *static total
+entry budget* (`max_dup`) and reports overflow counters instead of resizing —
+correctness degrades loudly (SURVEY.md §7 "Hard parts").
+
+Entry expansion is budget-proportional, not N*K: each of the `max_dup` entry slots
+finds its source Gaussian via scatter-marks on the exclusive-cumsum offsets + a
+cummax forward fill (O(max_dup), no per-Gaussian tile cap — a Gaussian may overlap
+arbitrarily many tiles, like the reference).
+
+Sorting packs (tile, depth-rank) into ONE uint32 key when the bit budget allows
+(tile_bits + ceil(log2 N) <= 32): Gaussians are pre-ranked by a stable depth argsort,
+which reproduces the reference's [tileID||float-depth-bits] 64-bit radix order
+exactly for the positive depths that survive the near cull (ties resolved by
+Gaussian index, as CUB's stable radix sort does). Otherwise falls back to a
+two-key lexicographic sort.
 """
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -27,66 +37,70 @@ class BinningOut(NamedTuple):
     tile_start: jnp.ndarray  # [num_tiles] int32 first entry of each tile
     tile_end: jnp.ndarray    # [num_tiles] int32 one-past-last entry of each tile
     num_entries: jnp.ndarray # [] int32 valid entries (before budget clamp)
-    overflow: jnp.ndarray    # [] int32: entries dropped by either budget (0 = exact)
+    overflow: jnp.ndarray    # [] int32: entries dropped by the budget (0 = exact)
 
 
 def bin_gaussians(pre: PreprocessOut, grid_x: int, grid_y: int,
-                  max_dup: int, max_tiles_per_gauss: int) -> BinningOut:
+                  max_dup: int, max_tiles_per_gauss: int = 0) -> BinningOut:
     """Build the depth-sorted per-tile entry list with a static budget.
 
     Args:
         pre: preprocess output.
         grid_x, grid_y: tile grid dims.
         max_dup: static total (Gaussian, tile) entry budget.
-        max_tiles_per_gauss: static per-Gaussian tile cap (duplicateWithKeys emits one
-            entry per overlapped tile with no cap; entries beyond this cap are counted
-            in `overflow`).
+        max_tiles_per_gauss: unused (kept for config compatibility; the slot-major
+            expansion has no per-Gaussian cap).
     """
     n = pre.depth.shape[0]
     num_tiles = grid_x * grid_y
-    k = max_tiles_per_gauss
 
-    counts = jnp.minimum(pre.tiles_touched, k)
-    offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum, like the CUB InclusiveSum shifted
-    total = offsets[-1] + counts[-1] if n > 0 else jnp.int32(0)
+    counts = pre.tiles_touched.astype(jnp.int32)
+    offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
+    total = (offsets[-1] + counts[-1]).astype(jnp.int32) if n > 0 else jnp.int32(0)
 
-    # Entry e = (gaussian g, slot s) covers the s-th tile of g's rect in row-major order.
-    g_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32)[:, None], k, axis=1)  # [N, K]
-    slot = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :], (n, k))
-    rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)[:, None]
-    ty = pre.rect_min[:, 1][:, None] + slot // rect_w
-    tx = pre.rect_min[:, 0][:, None] + slot % rect_w
-    tile = ty * grid_x + tx  # [N, K]
+    # Entry slot e -> source Gaussian: mark offsets, forward-fill with cummax
+    # (ties at equal offsets resolve to the later Gaussian, which is the first one
+    # with nonzero count there).
+    marks = jnp.zeros((max_dup,), jnp.int32).at[offsets].max(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    g = jax.lax.cummax(marks)
+    slot = jnp.arange(max_dup, dtype=jnp.int32) - offsets[g]
+    valid = (slot < counts[g]) & (jnp.arange(max_dup) < total)
 
-    valid = slot < counts[:, None]
-    # Destination index in the compact entry buffer; invalid/overflowing entries get an
-    # out-of-range destination and are dropped by the scatter (mode='drop').
-    dest = jnp.where(valid, offsets[:, None] + slot, max_dup)
+    rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
+    ty = pre.rect_min[g, 1] + slot // rect_w[g]
+    tx = pre.rect_min[g, 0] + slot % rect_w[g]
+    tile = jnp.where(valid, ty * grid_x + tx, num_tiles).astype(jnp.int32)
 
-    entry_tile = jnp.full((max_dup,), num_tiles, dtype=jnp.int32)
-    entry_gauss = jnp.zeros((max_dup,), dtype=jnp.int32)
-    entry_tile = entry_tile.at[dest.reshape(-1)].set(tile.reshape(-1).astype(jnp.int32), mode="drop")
-    entry_gauss = entry_gauss.at[dest.reshape(-1)].set(g_idx.reshape(-1), mode="drop")
-    entry_depth = pre.depth[entry_gauss]
-    # Padding entries keep the sentinel tile and sort to the back regardless of depth.
+    # Stable depth ranking of Gaussians (reproduces radix order over positive
+    # depths; ties by Gaussian index).
+    rank = jnp.zeros((n,), jnp.uint32).at[jnp.argsort(pre.depth, stable=True)].set(
+        jnp.arange(n, dtype=jnp.uint32))
 
-    sorted_tile, _, sorted_gauss = jax.lax.sort(
-        (entry_tile, entry_depth, entry_gauss), num_keys=2
-    )
+    rank_bits = max(1, math.ceil(math.log2(max(n, 2))))
+    tile_bits = max(1, math.ceil(math.log2(num_tiles + 2)))
+    if rank_bits + tile_bits <= 32:
+        key = (tile.astype(jnp.uint32) << rank_bits) | rank[g]
+        key = jnp.where(valid, key, jnp.uint32(num_tiles) << rank_bits)
+        sorted_key, sorted_gauss = jax.lax.sort((key, g), num_keys=1)
+        sorted_tile = (sorted_key >> rank_bits).astype(jnp.int32)
+        bounds = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits)
+        edges = jnp.searchsorted(sorted_key, bounds, side="left").astype(jnp.int32)
+        tile_start, tile_end = edges[:-1], edges[1:]
+    else:
+        depth_e = pre.depth[g]
+        sorted_tile, _, sorted_gauss = jax.lax.sort((tile, depth_e, g), num_keys=2)
+        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+        tile_start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
+        tile_end = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
 
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
-
-    dropped_cap = jnp.sum(pre.tiles_touched - counts)
-    dropped_budget = jnp.maximum(total - max_dup, 0)
     return BinningOut(
         gauss_id=sorted_gauss,
         tile_id=sorted_tile,
         tile_start=tile_start,
         tile_end=tile_end,
-        num_entries=total.astype(jnp.int32),
-        overflow=(dropped_cap + dropped_budget).astype(jnp.int32),
+        num_entries=total,
+        overflow=jnp.maximum(total - max_dup, 0).astype(jnp.int32),
     )
 
 
@@ -104,9 +118,8 @@ def align_entries(binning: BinningOut, num_tiles: int, chunk: int,
     minor slices; CUDA had no such constraint on its flat point_list,
     rasterizer_impl.cu:303-336).
 
-    Implemented as a pure GATHER (per aligned slot: find its tile by binary search
-    over segment ends, then its source entry) — XLA lowers gathers far better than
-    big scatters on TPU.
+    Implemented as a pure GATHER (scatter-marks + cummax slot->tile map) — XLA
+    lowers gathers far better than big scatters on TPU.
 
     Args:
         d_aligned: static output size >= sum(ceil(count_t / chunk) * chunk). Choose
@@ -117,9 +130,6 @@ def align_entries(binning: BinningOut, num_tiles: int, chunk: int,
     seg_end = jnp.cumsum(seg).astype(jnp.int32)
     aligned_start = (seg_end - seg).astype(jnp.int32)
 
-    # Slot -> tile map via scatter-marks + cummax (a searchsorted over millions of
-    # slots is ~25x slower on TPU): mark each segment start with its tile id (max
-    # resolves empty-segment ties toward the later tile), then forward-fill.
     marks = jnp.zeros((d_aligned,), jnp.int32).at[aligned_start].max(
         jnp.arange(num_tiles, dtype=jnp.int32), mode="drop")
     t = jax.lax.cummax(marks)
