@@ -68,8 +68,16 @@ def bin_gaussians(pre: PreprocessOut, grid_x: int, grid_y: int,
     valid = (slot < counts[g]) & (jnp.arange(max_dup) < total)
 
     rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
-    ty = pre.rect_min[g, 1] + slot // rect_w[g]
-    tx = pre.rect_min[g, 0] + slot % rect_w[g]
+    # slot // rect_w via f32 reciprocal multiply + exact correction (runtime integer
+    # division lowers poorly on the VPU). Values are small (< 2^23), so one
+    # correction step makes floor exact.
+    wg = rect_w[g]
+    q = jnp.floor(slot.astype(jnp.float32) * (1.0 / rect_w.astype(jnp.float32))[g]).astype(jnp.int32)
+    r = slot - q * wg
+    q = jnp.where(r < 0, q - 1, jnp.where(r >= wg, q + 1, q))
+    r = slot - q * wg
+    ty = pre.rect_min[g, 1] + q
+    tx = pre.rect_min[g, 0] + r
     tile = jnp.where(valid, ty * grid_x + tx, num_tiles).astype(jnp.int32)
 
     # Stable depth ranking of Gaussians (reproduces radix order over positive

@@ -90,6 +90,42 @@ def zero_one_loss(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.log(val) + jnp.log(1 - val))
 
 
+def smoothing_depth_loss(depth_map: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """L1 distance between the depth map and its (stop-gradiented) 5x5 box blur
+    (reference loss_utils.py:109-121, which blurs on the host with cv2).
+
+    Args:
+        depth_map: [H, W].
+    """
+    k = jnp.ones((1, 1, 5, 5), depth_map.dtype) / 25.0
+    x = depth_map[None, None]
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NCHW", "OIHW", "NCHW"))
+    avg = jax.lax.conv_general_dilated(x, k, (1, 1), [(2, 2), (2, 2)], dimension_numbers=dn)[0, 0]
+    avg = jax.lax.stop_gradient(avg)
+    if mask is None:
+        return jnp.mean(jnp.abs(depth_map - avg))
+    num = jnp.sum(mask == 1)
+    return jnp.where(num > 0, jnp.sum(jnp.abs(depth_map * mask - avg * mask)) / jnp.maximum(num, 1), 0.0)
+
+
+def sky_depth_loss(depth_map: jnp.ndarray, sky_mask: jnp.ndarray, gamma: float = 0.02):
+    """exp(-gamma*(mean sky-region depth - mean non-sky depth)) on the rendered depth
+    map; non-sky mean is stop-gradiented (reference loss_utils.py:124-137; its
+    sky_mask is 1 = NOT sky).
+
+    Args:
+        depth_map: [H, W]; sky_mask: [H, W] with 1 = not sky.
+    """
+    nosky = 1.0 - sky_mask
+    n_sky = jnp.sum(nosky == 1)
+    n_nosky = jnp.sum(sky_mask == 1)
+    mean_nosky = jax.lax.stop_gradient(
+        jnp.sum(depth_map * sky_mask) / jnp.maximum(n_nosky, 1))
+    mean_sky = jnp.sum(depth_map * nosky) / jnp.maximum(n_sky, 1)
+    loss = jnp.exp(-gamma * (mean_sky - mean_nosky))
+    return jnp.where(n_sky > 0, loss, 0.0)
+
+
 def depth_loss_gaussians(depths: jnp.ndarray, is_sky: jnp.ndarray, visible: jnp.ndarray, gamma: float = 0.02) -> jnp.ndarray:
     """exp(-gamma * (mean depth of visible sky Gaussians - mean depth of visible
     foreground Gaussians)); fg mean is stop-gradiented (reference
