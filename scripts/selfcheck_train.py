@@ -1,0 +1,128 @@
+"""Self-consistency training check: render views of a known synthetic Gaussian scene
+with the framework's own renderer, then train a fresh model from random points on
+those images and report the PSNR trajectory. Validates the full optimize-render loop
+(gradient quality, densification, schedules) end-to-end without external data.
+
+Usage: python scripts/selfcheck_train.py [iters] [res]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main(iters=1500, res=128, n_views=8):
+    from relightable3dgaussians_w_tpu.config import Config
+    from relightable3dgaussians_w_tpu.models import gaussians as G
+    from relightable3dgaussians_w_tpu.models.nets import MLPNet, init_mlp, init_embeddings
+    from relightable3dgaussians_w_tpu.ops.rasterize import RasterizerConfig, CameraMatrices
+    from relightable3dgaussians_w_tpu.renderer import render
+    from relightable3dgaussians_w_tpu.train_step import TrainState, make_train_fns, make_optimizer
+    from relightable3dgaussians_w_tpu.utils.graphics import projection_matrix
+
+    rng = np.random.RandomState(0)
+    use_pallas = jax.default_backend() == "tpu"
+    rcfg = RasterizerConfig(width=res, height=res, max_dup=1 << 17,
+                            max_tiles_per_gauss=0, lmax_per_tile=512, tile_chunk=8,
+                            use_pallas=use_pallas)
+
+    # ---- ground-truth scene: colorful blob cloud + simple sky
+    n_gt = 4000
+    pts = np.stack([rng.uniform(-1.5, 1.5, n_gt), rng.uniform(-1.5, 1.5, n_gt),
+                    rng.uniform(2.0, 6.0, n_gt)], -1).astype(np.float32)
+    gt_params, gt_state = G.init_from_points(pts, np.full(n_gt, 0.004, np.float32), n_gt + 256)
+    # randomize gt appearance
+    key = jax.random.PRNGKey(1)
+    gt_params = gt_params._replace(
+        albedo=gt_params.albedo.at[:n_gt].set(jax.random.normal(key, (n_gt, 3))),
+        opacity=gt_params.opacity.at[:n_gt].set(2.0),
+    )
+    envl_gt = jnp.asarray(rng.uniform(0.0, 0.6, (25, 3)), jnp.float32)
+    sky_gt = jnp.asarray(rng.uniform(-0.2, 0.2, (1, 4, 3)), jnp.float32)
+
+    def make_cam(angle):
+        fov = np.deg2rad(60)
+        c = np.array([4.0 * np.sin(angle), 0.0, 4.0 - 4.0 * np.cos(angle)])
+        # look at scene center (0, 0, 4)
+        fwd = np.array([0, 0, 4.0]) - c
+        fwd /= np.linalg.norm(fwd)
+        right = np.cross([0, 1, 0], fwd); right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = np.stack([right, up, fwd], 0)
+        w2c[:3, 3] = -w2c[:3, :3] @ c
+        proj = projection_matrix(0.01, 100.0, fov, fov)
+        return CameraMatrices(
+            viewmat=jnp.asarray(w2c), projmat=jnp.asarray(proj @ w2c),
+            campos=jnp.asarray(c, jnp.float32),
+            tan_fovx=jnp.float32(np.tan(fov / 2)), tan_fovy=jnp.float32(np.tan(fov / 2)),
+        )
+
+    cams = [make_cam(a) for a in np.linspace(-0.5, 0.5, n_views)]
+    bg = jnp.zeros(3)
+    sky_mask = jnp.ones((res, res))
+
+    @jax.jit
+    def render_gt(cam):
+        out = render(gt_params, gt_state, envl_gt, sky_gt, cam, rcfg, bg, sky_mask,
+                     debug=False)
+        return jnp.clip(out.render, 0, 1)
+
+    gts = [render_gt(c) for c in cams]
+    print(f"rendered {n_views} GT views at {res}x{res} "
+          f"(mean {float(jnp.stack(gts).mean()):.3f})")
+
+    # ---- student from random init
+    cfg = Config()
+    cfg.optimizer.reg_normal_from_iter = 400
+    cfg.optimizer.densify_from_iter = 100
+    cfg.optimizer.densification_interval = 100
+    cfg.optimizer.densify_until_iter = iters // 2
+    cfg.optimizer.opacity_reset_interval = 10**9
+    n0 = 2000
+    pts0 = np.stack([rng.uniform(-1.5, 1.5, n0), rng.uniform(-1.5, 1.5, n0),
+                     rng.uniform(2.0, 6.0, n0)], -1).astype(np.float32)
+    params_g, gstate = G.init_from_points(pts0, np.full(n0, 0.01, np.float32), 32768)
+    mlp = MLPNet()
+    k = jax.random.PRNGKey(0)
+    params = {"gaussians": params_g, "mlp": init_mlp(k, mlp),
+              "embeddings": init_embeddings(jax.random.fold_in(k, 1), n_views)}
+    state = TrainState(params, gstate, make_optimizer().init(params), jnp.asarray(0))
+    fns = make_train_fns(mlp, cfg, rcfg)
+
+    occ = jnp.ones((res, res))
+    t0 = time.time()
+    psnrs = []
+    key = jax.random.PRNGKey(7)
+    for it in range(1, iters + 1):
+        vi = rng.randint(n_views)
+        key, ks = jax.random.split(key)
+        state, aux = fns.train_step(state, cams[vi], gts[vi], sky_mask, occ,
+                                    jnp.asarray(vi), ks, bg)
+        if it % 100 == 0 or it == 1:
+            p = float(aux.psnr)
+            psnrs.append((it, p))
+            print(f"[{it}] loss={float(aux.loss):.4f} psnr={p:.2f} "
+                  f"alive={int(aux.num_alive)} {(it / (time.time() - t0)):.2f} it/s")
+        if it == cfg.optimizer.densify_until_iter:
+            pass
+        if it % cfg.optimizer.densification_interval == 0 and cfg.optimizer.densify_from_iter < it < cfg.optimizer.densify_until_iter:
+            key, kd = jax.random.split(key)
+            state, rep = fns.densify_step(state, kd, jnp.asarray(2e-4), jnp.asarray(3.0))
+
+    first = psnrs[0][1]
+    best = max(p for _, p in psnrs)
+    print(f"PSNR first={first:.2f} best={best:.2f} (gain {best - first:+.2f} dB)")
+    return psnrs
+
+
+if __name__ == "__main__":
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
+    res = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    main(iters, res)
