@@ -50,7 +50,7 @@ def main(argv=None):
     trainer = Relightable3DGWTrainer(cfg)
     iteration = cfg.model.load_iteration or 0
     if iteration:
-        trainer.load_full_state(iteration)
+        trainer.load_checkpoint(iteration)
 
     test_config = load_test_config(cfg.dataset.test_config_path)
     names = {k.split(".")[0] for k in test_config}

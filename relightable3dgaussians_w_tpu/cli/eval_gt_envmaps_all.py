@@ -31,7 +31,7 @@ def main(argv=None):
     trainer = Relightable3DGWTrainer(cfg)
     iteration = cfg.model.load_iteration or 0
     if iteration:
-        trainer.load_full_state(iteration)
+        trainer.load_checkpoint(iteration)
 
     test_config = load_test_config(cfg.dataset.test_config_path)
     # One config entry per lighting condition; apply it to every matching view.

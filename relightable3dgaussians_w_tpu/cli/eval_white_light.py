@@ -25,7 +25,7 @@ def main(argv=None):
     trainer = Relightable3DGWTrainer(cfg)
     iteration = cfg.model.load_iteration or 0
     if iteration:
-        trainer.load_full_state(iteration)
+        trainer.load_checkpoint(iteration)
 
     views, _, _ = pad_cameras(trainer.test_cameras or trainer.train_cameras)
     out_dir = os.path.join(trainer.model_path, "white_light", f"iteration_{iteration}")

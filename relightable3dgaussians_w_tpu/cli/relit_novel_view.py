@@ -44,7 +44,7 @@ def main(argv=None):
     trainer = Relightable3DGWTrainer(cfg)
     iteration = cfg.model.load_iteration or 0
     if iteration:
-        trainer.load_full_state(iteration)
+        trainer.load_checkpoint(iteration)
 
     envmap_path = kwargs["envmap"]
     view_name = kwargs.get("view")

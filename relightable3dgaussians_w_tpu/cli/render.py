@@ -109,7 +109,7 @@ def main(argv=None):
     trainer = Relightable3DGWTrainer(cfg)
     iteration = cfg.model.load_iteration or 0
     if iteration:
-        trainer.load_full_state(iteration)
+        trainer.load_checkpoint(iteration)
 
     if not skip_train:
         render_set(trainer, "train", iteration, trainer.train_views,

@@ -270,6 +270,45 @@ class Relightable3DGWTrainer:
         np.savez(os.path.join(bundle_dir, "state.npz"),
                  **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)})
 
+    def load_checkpoint(self, iteration: int = -1):
+        """Reference-style warm start (Relightable3DGW load path,
+        relit3DGW_model.py:249-274): point_cloud.ply + embeddings + MLP weights.
+        iteration=-1 resolves the latest saved iteration (searchForMaxIteration,
+        utils/system_utils.py:26-28). Prefers the framework-native full-state bundle
+        (which also restores Adam moments) when present."""
+        if iteration == -1:
+            pc_dir = os.path.join(self.model_path, "point_cloud")
+            iters = [int(d.split("_")[-1]) for d in os.listdir(pc_dir)
+                     if d.startswith("iteration_")]
+            iteration = max(iters)
+        full = os.path.join(self.model_path, "full_state", f"iteration_{iteration}",
+                            "state.npz")
+        if os.path.exists(full):
+            return self.load_full_state(iteration)
+
+        ply = os.path.join(self.model_path, "point_cloud", f"iteration_{iteration}",
+                           "point_cloud.ply")
+        capacity = self.state.gauss_state.alive.shape[0]
+        params_g, gstate = load_gaussians_ply(ply, capacity=capacity)
+        emb = np.load(os.path.join(self.model_path, "checkpoint_embeddings",
+                                   f"iteration_{iteration}", "embeddings_weights.npz"))["weight"]
+        with open(os.path.join(self.model_path, "checkpoint_MLP",
+                               f"iteration_{iteration}", "MLP_weights.npz"), "rb") as f:
+            mlp_params = flax.serialization.from_bytes(self.state.params["mlp"], f.read())
+        params = {"gaussians": params_g, "mlp": mlp_params, "embeddings": jnp.asarray(emb)}
+        from .train_step import make_optimizer
+
+        opt_state = make_optimizer().init(params)
+        gstate = gstate._replace(
+            max_radii2d=jnp.zeros_like(gstate.max_radii2d),
+            xyz_grad_accum=jnp.zeros_like(gstate.xyz_grad_accum),
+            denom=jnp.zeros_like(gstate.denom),
+        )
+        from .train_step import TrainState as TS
+
+        self.state = TS(params, gstate, opt_state, jnp.asarray(iteration))
+        return self.state
+
     def load_full_state(self, iteration: int):
         bundle = np.load(os.path.join(self.model_path, "full_state",
                                       f"iteration_{iteration}", "state.npz"))

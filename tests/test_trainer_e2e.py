@@ -98,6 +98,26 @@ def test_trainer_end_to_end(tmp_path):
     trainer.load_full_state(40)
     assert int(trainer.state.step) == int(st.step)
 
+    # Reference-style warm start (PLY + embeddings + MLP, no optimizer state):
+    # remove the native bundle so load_checkpoint(-1) takes the PLY path.
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "full_state"))
+    n_alive_before = int(np.asarray(st.gauss_state.alive).sum())
+    trainer.load_checkpoint(-1)
+    import jax.numpy as jnp2
+    from relightable3dgaussians_w_tpu.models import gaussians as G
+
+    assert int(jnp2.sum(trainer.state.gauss_state.alive)) == n_alive_before
+    xyz_loaded = np.asarray(G.get_xyz(trainer.state.params["gaussians"],
+                                      trainer.state.gauss_state))
+    xyz_saved = np.asarray(G.get_xyz(st.params["gaussians"], st.gauss_state))
+    alive = np.asarray(st.gauss_state.alive)
+    # The loaded pool is compacted; compare as sets via sorted coordinates.
+    np.testing.assert_allclose(
+        np.sort(xyz_loaded[np.asarray(trainer.state.gauss_state.alive)].ravel()),
+        np.sort(xyz_saved[alive].ravel()), atol=1e-5)
+
 
 def test_load_gaussians_ply_roundtrip(tmp_path):
     from relightable3dgaussians_w_tpu.trainer import load_gaussians_ply
