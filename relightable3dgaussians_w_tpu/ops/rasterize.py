@@ -87,11 +87,15 @@ def _gather_features(pre, binning: BinningOut, opacities, colors, mean2d_probe):
     return feat
 
 
-def _gather_features_t(pre, aligned, opacities, colors, mean2d_probe):
+def _gather_features_t(pre, aligned, opacities, colors, mean2d_probe,
+                       interpret: bool = False):
     """Transposed feature gather [F_pad, D_aligned] for the Pallas path: ONE fused
     per-Gaussian feature pack [N, F_pad], one row gather, one transpose. Alignment
     padding entries alias Gaussian 0 but are masked inside the kernel by the per-tile
-    count and receive zero gradients."""
+    count and receive zero gradients. The gather's transpose (the per-Gaussian
+    gradient reduction) runs as a Pallas one-hot-matmul segment sum."""
+    from .pallas.segment_sum import gather_rows_t
+
     mean2d = pre.mean2d if mean2d_probe is None else pre.mean2d + mean2d_probe
     f = 6 + colors.shape[-1]
     f_pad = ((f + 7) // 8) * 8
@@ -99,7 +103,7 @@ def _gather_features_t(pre, aligned, opacities, colors, mean2d_probe):
     if f_pad != f:
         parts.append(jnp.zeros((colors.shape[0], f_pad - f), colors.dtype))
     feat_pack = jnp.concatenate(parts, axis=-1)      # [N, F_pad]
-    return feat_pack[aligned.gauss_id].T             # [F_pad, D_aligned]
+    return gather_rows_t(feat_pack, aligned.gauss_id, feat_pack.shape[0], interpret)
 
 
 def _assemble_image(tiles_rgb, tiles_tfin, cfg: RasterizerConfig, channels: int):
@@ -154,7 +158,8 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
         num_tiles = cfg.grid_x * cfg.grid_y
         d_aligned = cfg.max_dup + num_tiles * cfg.pallas_chunk
         aligned = align_entries(binning, num_tiles, cfg.pallas_chunk, d_aligned)
-        feat_t = _gather_features_t(pre, aligned, opacities, colors, mean2d_probe)
+        feat_t = _gather_features_t(pre, aligned, opacities, colors, mean2d_probe,
+                                    interpret=cfg.pallas_interpret)
         pcfg = PallasCompositeConfig(grid_x=cfg.grid_x, grid_y=cfg.grid_y,
                                      channels=colors.shape[-1], tile=cfg.tile,
                                      chunk=cfg.pallas_chunk,
