@@ -52,9 +52,9 @@ def _kernel(starts_ref, uppers_ref, rows_hbm, out_ref, scratch_rows, sems,
         get_dma(slot, c_idx).wait()
         rows = scratch_rows[slot]                        # [F+8, CHUNK]
         # ids ride as a float row (exact for ids < 2^24).
-        local = rows[id_row : id_row + 1, :] - (b * block).astype(jnp.float32)
+        local = (rows[id_row : id_row + 1, :]).astype(jnp.int32) - b * block
         onehot = jnp.where(
-            jax.lax.broadcasted_iota(jnp.float32, (block, chunk), 0) == local,
+            jax.lax.broadcasted_iota(jnp.int32, (block, chunk), 0) == local,
             1.0, 0.0,
         )
         return acc + jax.lax.dot_general(
