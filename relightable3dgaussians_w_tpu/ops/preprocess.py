@@ -60,16 +60,26 @@ def compute_cov2d(p_orig: jnp.ndarray, cov3d: jnp.ndarray, viewmat: jnp.ndarray,
     j12 = -(focal_y * ty) / (tz * tz)
 
     W = viewmat[:3, :3]  # [3, 3]
-    # M = J @ W : [N, 2, 3]
-    M0 = j00[:, None] * W[0][None, :] + j02[:, None] * W[2][None, :]
-    M1 = j11[:, None] * W[1][None, :] + j12[:, None] * W[2][None, :]
+    # M = J @ W as two row vectors, fully scalar (no [N, 3, 3] temporaries — batched
+    # tiny matmuls lower poorly on the VPU).
+    m00 = j00 * W[0, 0] + j02 * W[2, 0]
+    m01 = j00 * W[0, 1] + j02 * W[2, 1]
+    m02 = j00 * W[0, 2] + j02 * W[2, 2]
+    m10 = j11 * W[1, 0] + j12 * W[2, 0]
+    m11 = j11 * W[1, 1] + j12 * W[2, 1]
+    m12 = j11 * W[1, 2] + j12 * W[2, 2]
 
-    V = sym6_to_mat(cov3d)  # [N, 3, 3]
-    VM0 = jnp.einsum("nij,nj->ni", V, M0)
-    VM1 = jnp.einsum("nij,nj->ni", V, M1)
-    cxx = jnp.einsum("ni,ni->n", M0, VM0) + 0.3
-    cxy = jnp.einsum("ni,ni->n", M0, VM1)
-    cyy = jnp.einsum("ni,ni->n", M1, VM1) + 0.3
+    a, b, c, d, e, f = (cov3d[:, i] for i in range(6))  # xx xy xz yy yz zz
+    # cov2d = M V M^T expanded over the symmetric V.
+    v0x = a * m00 + b * m01 + c * m02
+    v1x = b * m00 + d * m01 + e * m02
+    v2x = c * m00 + e * m01 + f * m02
+    v0y = a * m10 + b * m11 + c * m12
+    v1y = b * m10 + d * m11 + e * m12
+    v2y = c * m10 + e * m11 + f * m12
+    cxx = m00 * v0x + m01 * v1x + m02 * v2x + 0.3
+    cxy = m10 * v0x + m11 * v1x + m12 * v2x
+    cyy = m10 * v0y + m11 * v1y + m12 * v2y + 0.3
     return jnp.stack([cxx, cxy, cyy], axis=-1)
 
 

@@ -130,14 +130,28 @@ def build_scaling_rotation(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarr
 def covariance_3d(scales: jnp.ndarray, quats: jnp.ndarray, scale_modifier: float = 1.0) -> jnp.ndarray:
     """World-space covariance Sigma = R S S^T R^T as the symmetric 6-vector
     (xx, xy, xz, yy, yz, zz) — same packing as `computeCov3D`
-    (forward.cu:118-152). Uses the raw (non-normalizing) quat convention."""
-    R = quat_to_rotmat_raw(quats)
-    L = R * (scale_modifier * scales)[..., None, :]
-    S = L @ jnp.swapaxes(L, -1, -2)
-    return jnp.stack(
-        [S[..., 0, 0], S[..., 0, 1], S[..., 0, 2], S[..., 1, 1], S[..., 1, 2], S[..., 2, 2]],
-        axis=-1,
-    )
+    (forward.cu:118-152). Uses the raw (non-normalizing) quat convention.
+    Fully scalar form (batched 3x3 matmuls lower poorly on the VPU)."""
+    r, x, y, z = quats[..., 0], quats[..., 1], quats[..., 2], quats[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - r * z)
+    r02 = 2 * (x * z + r * y)
+    r10 = 2 * (x * y + r * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - r * x)
+    r20 = 2 * (x * z - r * y)
+    r21 = 2 * (y * z + r * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s0 = (scale_modifier * scales[..., 0]) ** 2
+    s1 = (scale_modifier * scales[..., 1]) ** 2
+    s2 = (scale_modifier * scales[..., 2]) ** 2
+    xx = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    xy = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    xz = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    yy = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    yz = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    zz = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    return jnp.stack([xx, xy, xz, yy, yz, zz], axis=-1)
 
 
 # ----------------------------------------------------------- depth -> points / normals
