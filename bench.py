@@ -66,16 +66,23 @@ def main():
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
 
+    def pull(out):
+        # Force a 4-byte scalar transfer: under the axon tunnel,
+        # jax.block_until_ready can return before Pallas-containing programs
+        # finish; a scalar reduction read-back is reliable.
+        leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "dtype")]
+        return float(sum(jnp.sum(l.astype(jnp.float32)) for l in leaves))
+
     # Warmup / compile + overflow sanity.
     _, aux = jax.jit(lambda a: rasterize(*a, bg, cam, cfg))(arrs)
     overflow = int(aux.overflow)
     g = step(*arrs)
-    jax.block_until_ready(g)
+    pull(g)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         g = step(*arrs)
-    jax.block_until_ready(g)
+    pull(g)
     dt = (time.perf_counter() - t0) / iters
 
     pix_s = W * H / dt

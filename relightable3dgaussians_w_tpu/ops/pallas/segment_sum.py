@@ -1,19 +1,25 @@
 """Deterministic row segment-sum on TPU: the gather-transpose for Gaussian gradients.
 
-The autodiff transpose of `feat_pack[gauss_id]` is a scatter-add of ~4M 16-float rows
-into ~1M Gaussian rows. XLA's TPU scatter-add takes ~340ms for that shape — 800x off
-bandwidth — and is the dominant backward cost. This kernel reaches near-bandwidth:
+The autodiff transpose of `feat_pack[gauss_id]` is a scatter-add of ~4.8M F-float
+rows into ~1M Gaussian rows. XLA's TPU scatter-add takes ~500ms for that shape and a
+sort + explicit row permute costs ~130ms (XLA's big random gathers/permutes run
+~40x off HBM bandwidth at this shape: ~110ms for 300MB). This version:
 
-  1. sort entry ids (u32 radix via lax.sort, ~13ms) and permute the rows into
-     id-sorted order (minor-axis gather);
-  2. grid over output row blocks of B Gaussians; each block's (rounded, overlapping)
-     entry range is precomputed with the scatter-marks + cummax trick;
-  3. per chunk, build the (B x CHUNK) one-hot local-id matrix by iota compare and
-     accumulate partial sums as an MXU matmul — f32, no atomics, fully deterministic
-     (the reference accumulates these same gradients with CUDA atomicAdd,
-     backward.cu:523-554, which is run-to-run nondeterministic).
+  1. sorts the GRADIENT ROWS THEMSELVES as sort payloads keyed by segment id
+     (`lax.sort` moves payload through its passes at high bandwidth: measured
+     ~20ms + ~4.3ms per f32 payload at 4.8M entries — ~60ms for 9 rows, vs
+     130ms+ for sort-then-permute);
+  2. grids over output row blocks of B Gaussians; each block's (macro-rounded,
+     overlapping) entry range is precomputed with the scatter-marks + cummax trick;
+  3. per macro-chunk, builds (B x LANES) one-hot local-id matrices by iota compare
+     and accumulates partial sums as MXU matmuls — f32, no atomics, fully
+     deterministic (the reference accumulates these same gradients with CUDA
+     atomicAdd, backward.cu:523-554, which is run-to-run nondeterministic).
 
-Rows are streamed in the transposed [F, D] layout the rasterizer already uses.
+The sorted rows stay as separate [D] arrays, reshaped (free) to [D/(8*lanes), 8,
+lanes] so the per-macro DMA slices a LEADING UNTILED dim — Mosaic rejects dynamic
+slices along the tiled sublane dim of a 2D memref ("must be aligned to tiling (8)").
+No concatenation copies anywhere.
 """
 
 from __future__ import annotations
@@ -25,129 +31,159 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+LANES = 512
+SUBROWS = 8
+MACRO = SUBROWS * LANES  # entries per DMA step; D must be a multiple of this
 
-def _kernel(starts_ref, uppers_ref, rows_hbm, out_ref, scratch_rows, sems,
-            *, block, chunk, f_pad, id_row):
+
+def _kernel(starts_ref, uppers_ref, ids_ref, *rest, block, f_used, f_pad):
+    row_refs = rest[:f_used]
+    out_ref = rest[f_used]
+    ids_scratch, rows_scratch, sems, id_sems = rest[f_used + 1:]
+
     b = pl.program_id(0)
-    start = starts_ref[b]          # chunk-aligned, inclusive
-    end = uppers_ref[b]            # chunk-aligned upper bound (exclusive)
-    n_chunks = pl.cdiv(jnp.maximum(end - start, 0), chunk)
+    start_m = starts_ref[b]          # macro index, inclusive
+    upper_m = uppers_ref[b]          # macro index, exclusive
+    n_macros = jnp.maximum(upper_m - start_m, 0)
 
-    def get_dma(slot, c_idx):
-        off = pl.multiple_of(start + c_idx * chunk, chunk)
-        return pltpu.make_async_copy(rows_hbm.at[:, pl.ds(off, chunk)],
-                                     scratch_rows.at[slot], sems.at[slot])
-
-    @pl.when(n_chunks > 0)
+    @pl.when(b == 0)
     def _():
-        get_dma(0, 0).start()
+        # Rows f_used..f_pad ride through the matmul but are never DMA'd: zero once
+        # (scratch persists across the sequential grid).
+        if f_used < f_pad:
+            rows_scratch[0, f_used:] = jnp.zeros(
+                (f_pad - f_used, SUBROWS, LANES), jnp.float32)
+            rows_scratch[1, f_used:] = jnp.zeros(
+                (f_pad - f_used, SUBROWS, LANES), jnp.float32)
 
-    def body(c_idx, acc):
-        slot = jnp.remainder(c_idx, 2)
+    def get_dmas(slot, m_idx):
+        row = start_m + m_idx
+        dmas = [pltpu.make_async_copy(ids_ref.at[pl.ds(row, 1)],
+                                      ids_scratch.at[slot], id_sems.at[slot])]
+        for i, r in enumerate(row_refs):
+            dmas.append(pltpu.make_async_copy(r.at[pl.ds(row, 1)],
+                                              rows_scratch.at[slot, pl.ds(i, 1)],
+                                              sems.at[slot, i]))
+        return dmas
 
-        @pl.when(c_idx + 1 < n_chunks)
+    @pl.when(n_macros > 0)
+    def _():
+        for dma in get_dmas(0, 0):
+            dma.start()
+
+    def body(m_idx, acc):
+        slot = jnp.remainder(m_idx, 2)
+
+        @pl.when(m_idx + 1 < n_macros)
         def _():
-            get_dma(jnp.remainder(c_idx + 1, 2), c_idx + 1).start()
+            for dma in get_dmas(jnp.remainder(m_idx + 1, 2), m_idx + 1):
+                dma.start()
 
-        get_dma(slot, c_idx).wait()
-        rows = scratch_rows[slot]                        # [F+8, CHUNK]
-        # ids ride as a float row (exact for ids < 2^24).
-        local = (rows[id_row : id_row + 1, :]).astype(jnp.int32) - b * block
-        onehot = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (block, chunk), 0) == local,
-            1.0, 0.0,
-        )
-        return acc + jax.lax.dot_general(
-            onehot, rows[:f_pad], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        for dma in get_dmas(slot, m_idx):
+            dma.wait()
+        ids_v = ids_scratch[slot, 0] - b * block          # [SUBROWS, LANES] int32
+        rows_v = rows_scratch[slot]                       # [f_pad, SUBROWS, LANES]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 0)
+        for j in range(SUBROWS):                          # static unroll
+            onehot = jnp.where(iota == ids_v[j : j + 1, :], 1.0, 0.0)
+            acc = acc + jax.lax.dot_general(
+                onehot, rows_v[:, j, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return acc
 
-    acc = jax.lax.fori_loop(0, n_chunks, body,
+    acc = jax.lax.fori_loop(0, n_macros, body,
                             jnp.zeros((block, f_pad), jnp.float32))
     out_ref[...] = acc
 
 
-def segment_sum_rows(rows_t: jnp.ndarray, ids: jnp.ndarray, num_segments: int,
-                     block: int = 256, chunk: int = 512,
-                     interpret: bool = False) -> jnp.ndarray:
-    """Sum rows with equal ids: out[i, :] = sum over e with ids[e] == i of
-    rows_t[:, e].
+def segment_sum_rows(rows, ids: jnp.ndarray, num_segments: int,
+                     block: int = 512, interpret: bool = False) -> jnp.ndarray:
+    """Sum rows with equal ids: out[i, f] = sum over e with ids[e] == i of
+    rows[f][e].
 
     Args:
-        rows_t: [F, D] rows in transposed layout (F a multiple of 8).
-        ids: [D] int32 in [0, num_segments) (out-of-range ids are dropped).
+        rows: sequence of F [D] f32 arrays (D a multiple of MACRO=4096).
+        ids: [D] int32 in [0, num_segments).
     Returns:
-        [num_segments_padded >= num_segments, F] — caller slices.
+        [num_segments_padded >= num_segments, F_pad >= F] — caller slices.
     """
-    f_pad, d = rows_t.shape
+    rows = list(rows)
+    f_used = len(rows)
+    d = rows[0].shape[0]
+    assert d % MACRO == 0, f"D must be a multiple of {MACRO} (pad the entry budget)"
+    f_pad = max(8, ((f_used + 7) // 8) * 8)
     n_pad = ((num_segments + block - 1) // block) * block
     n_blocks = n_pad // block
 
-    ids_s, perm = jax.lax.sort(
-        (ids.astype(jnp.uint32), jnp.arange(d, dtype=jnp.int32)), num_keys=1)
-    ids_s = ids_s.astype(jnp.int32)
-    rows_s = rows_t[:, perm]
+    sorted_ops = jax.lax.sort((ids.astype(jnp.uint32),) + tuple(rows), num_keys=1)
+    ids_s = sorted_ops[0].astype(jnp.int32)
+    rows_s = [r.reshape(d // MACRO, SUBROWS, LANES) for r in sorted_ops[1:]]
+    ids_3d = ids_s.reshape(d // MACRO, SUBROWS, LANES)
 
-    # Chunk-aligned entry range per output block via scatter-marks + cummax: with
-    # sorted ids, block b's entries are [cum_last[b-1], cum_last[b]). Round the start
-    # down and the end up to chunk alignment — the overlap into neighboring blocks is
-    # masked by the local-id one-hot.
-    blk = jnp.where(ids_s >= 0, ids_s // block, n_blocks)
+    # Macro-aligned entry range per output block via scatter-marks + cummax: with
+    # sorted ids, block b's entries are [cum_last[b-1], cum_last[b]). Round outward
+    # to macro boundaries — overlap into neighbors is masked by the one-hot.
+    blk = jnp.minimum(ids_s // block, n_blocks - 1)
     pos = jnp.arange(d, dtype=jnp.int32)
     last0 = jnp.zeros((n_blocks,), jnp.int32).at[blk].max(pos + 1, mode="drop")
     cum_last = jax.lax.cummax(last0)
     prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum_last[:-1]])
-    starts = (prev // chunk) * chunk
-    uppers = ((cum_last + chunk - 1) // chunk) * chunk
-    uppers = jnp.maximum(uppers, starts)
-
-    # Append the ids as an extra float row (exact for ids < 2^24), pad the tail so
-    # aligned DMA never reads out of range (padding ids = -1 match nothing).
-    assert num_segments < (1 << 24), "float id row requires < 2^24 segments"
-    pad = ((-d) % chunk) + chunk
-    ids_f = jnp.concatenate([ids_s.astype(jnp.float32), jnp.full((pad,), -1.0)])
-    rows_s = jnp.concatenate([rows_s, jnp.zeros((f_pad, pad), rows_s.dtype)], axis=1)
-    aug = jnp.concatenate([rows_s, ids_f[None, :],
-                           jnp.zeros((7, rows_s.shape[1]), rows_s.dtype)], axis=0)
+    starts_m = prev // MACRO
+    uppers_m = (cum_last + MACRO - 1) // MACRO
+    uppers_m = jnp.maximum(uppers_m, starts_m)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + f_used),
         out_specs=pl.BlockSpec((block, f_pad), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, f_pad + 8, chunk), jnp.float32),
+            pltpu.VMEM((2, 1, SUBROWS, LANES), jnp.int32),
+            pltpu.VMEM((2, f_pad, SUBROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, f_used)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_kernel, block=block, chunk=chunk, f_pad=f_pad,
-                               id_row=f_pad)
+    kernel = functools.partial(_kernel, block=block, f_used=f_used, f_pad=f_pad)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, f_pad), jnp.float32),
         interpret=interpret,
-    )(starts, uppers, aug)
+    )(starts_m, uppers_m, ids_3d, *rows_s)
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def gather_rows_t(feat_pack, gid, num_segments: int, interpret: bool = False):
+def segment_sum_rows_jnp(rows, ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+    """Pure-jnp twin of segment_sum_rows (parity tests / CPU)."""
+    rows = jnp.stack(list(rows), axis=-1)  # [D, F]
+    return jax.ops.segment_sum(rows, ids, num_segments=num_segments)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def gather_rows_t(feat_pack, gid, num_segments: int, f_used: int,
+                  interpret: bool = False):
     """feat_pack[gid].T with a Pallas segment-sum transpose instead of XLA's slow
-    scatter-add. feat_pack: [N, F_pad] -> [F_pad, D]."""
+    scatter-add. feat_pack: [N, F_pad] -> [F_pad, D]. Only the first `f_used`
+    feature columns carry gradients (the rest are structural zero padding)."""
     return feat_pack[gid].T
 
 
-def _grt_fwd(feat_pack, gid, num_segments, interpret):
+def _grt_fwd(feat_pack, gid, num_segments, f_used, interpret):
     return feat_pack[gid].T, gid
 
 
-def _grt_bwd(num_segments, interpret, gid, g_rows_t):
-    d_pack = segment_sum_rows(g_rows_t, gid, num_segments,
-                              interpret=interpret)[:num_segments]
-    return d_pack, None
+def _grt_bwd(num_segments, f_used, interpret, gid, g_rows_t):
+    f_pad = g_rows_t.shape[0]
+    rows = [g_rows_t[i] for i in range(f_used)]
+    d_used = segment_sum_rows(rows, gid, num_segments,
+                              interpret=interpret)[:num_segments, :f_used]
+    if f_used < f_pad:
+        d_used = jnp.pad(d_used, ((0, 0), (0, f_pad - f_used)))
+    return d_used, None
 
 
 gather_rows_t.defvjp(_grt_fwd, _grt_bwd)

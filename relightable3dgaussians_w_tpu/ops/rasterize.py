@@ -24,8 +24,10 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+import math
+
 from .preprocess import preprocess
-from .binning import bin_gaussians, align_entries, BinningOut
+from .binning import bin_gaussians, bin_gaussians_aligned, align_entries, BinningOut
 from .composite import CompositeConfig, composite_tiles, composite_tiles_autodiff
 
 
@@ -103,7 +105,8 @@ def _gather_features_t(pre, aligned, opacities, colors, mean2d_probe,
     if f_pad != f:
         parts.append(jnp.zeros((colors.shape[0], f_pad - f), colors.dtype))
     feat_pack = jnp.concatenate(parts, axis=-1)      # [N, F_pad]
-    return gather_rows_t(feat_pack, aligned.gauss_id, feat_pack.shape[0], interpret)
+    return gather_rows_t(feat_pack, aligned.gauss_id, feat_pack.shape[0], f,
+                         interpret)
 
 
 def _assemble_image(tiles_rgb, tiles_tfin, cfg: RasterizerConfig, channels: int):
@@ -151,13 +154,30 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
     """
     if opacities.ndim == 2:
         opacities = opacities[:, 0]
-    pre, binning = rasterize_aux(means3d, scales, quats, cam, cfg, cov3d_precomp, active)
     if cfg.use_pallas and not use_autodiff_twin:
         from .pallas.wrapper import PallasCompositeConfig, composite_tiles_pallas
 
         num_tiles = cfg.grid_x * cfg.grid_y
-        d_aligned = cfg.max_dup + num_tiles * cfg.pallas_chunk
-        aligned = align_entries(binning, num_tiles, cfg.pallas_chunk, d_aligned)
+        n = means3d.shape[0]
+        pre = preprocess(
+            means3d, scales, quats, cam.viewmat, cam.projmat, cam.tan_fovx,
+            cam.tan_fovy, cfg.width, cfg.height, cfg.tile, cfg.scale_modifier,
+            cov3d_precomp, active,
+        )
+        one_key = (math.ceil(math.log2(n + 1))
+                   + math.ceil(math.log2(num_tiles + 2))) <= 32
+        if one_key:
+            # Single sort lands directly in the chunk-aligned layout.
+            aligned = bin_gaussians_aligned(pre, cfg.grid_x, cfg.grid_y,
+                                            cfg.max_dup, cfg.pallas_chunk)
+        else:
+            from .pallas.segment_sum import MACRO
+
+            binning = bin_gaussians(pre, cfg.grid_x, cfg.grid_y, cfg.max_dup,
+                                    cfg.max_tiles_per_gauss)
+            d_aligned = cfg.max_dup + num_tiles * cfg.pallas_chunk
+            d_aligned = ((d_aligned + MACRO - 1) // MACRO) * MACRO
+            aligned = align_entries(binning, num_tiles, cfg.pallas_chunk, d_aligned)
         feat_t = _gather_features_t(pre, aligned, opacities, colors, mean2d_probe,
                                     interpret=cfg.pallas_interpret)
         pcfg = PallasCompositeConfig(grid_x=cfg.grid_x, grid_y=cfg.grid_y,
@@ -166,7 +186,10 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
                                      interpret=cfg.pallas_interpret)
         tiles_rgb, tiles_tfin = composite_tiles_pallas(
             feat_t, aligned.tile_start, aligned.tile_count, bg, pcfg)
+        num_entries, overflow = aligned.num_entries, aligned.overflow
     else:
+        pre, binning = rasterize_aux(means3d, scales, quats, cam, cfg,
+                                     cov3d_precomp, active)
         feat = _gather_features(pre, binning, opacities, colors, mean2d_probe)
         ccfg = CompositeConfig(
             grid_x=cfg.grid_x, grid_y=cfg.grid_y, tile=cfg.tile, channels=colors.shape[-1],
@@ -174,13 +197,14 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
         )
         composite = composite_tiles_autodiff if use_autodiff_twin else composite_tiles
         tiles_rgb, tiles_tfin = composite(feat, binning.tile_start, binning.tile_end, bg, ccfg)
+        num_entries, overflow = binning.num_entries, binning.overflow
     image, tfin = _assemble_image(tiles_rgb, tiles_tfin, cfg, colors.shape[-1])
     aux = RasterizeAux(
         radii=pre.radius,
         visibility=pre.radius > 0,
         depth=pre.depth,
         alpha=1.0 - tfin,
-        num_entries=binning.num_entries,
-        overflow=binning.overflow,
+        num_entries=num_entries,
+        overflow=overflow,
     )
     return image, aux

@@ -123,3 +123,34 @@ def test_multichannel_fused_aovs():
         host["W"], host["H"],
     )
     np.testing.assert_allclose(np.asarray(img), ref_img, atol=2e-4)
+
+
+def test_bin_gaussians_aligned_matches_two_stage():
+    """bin_gaussians_aligned (histogram + padded single sort) must produce the exact
+    aligned layout of bin_gaussians + align_entries (reference two-stage pipeline)."""
+    import numpy as np
+    from relightable3dgaussians_w_tpu.ops.preprocess import preprocess
+    from relightable3dgaussians_w_tpu.ops.binning import (
+        bin_gaussians, align_entries, bin_gaussians_aligned)
+
+    arrs, cam, cfg, _ = make_scene(seed=3, n=400)
+    chunk = 8
+    pre = preprocess(arrs["means3d"], arrs["scales"], arrs["quats"],
+                     cam.viewmat, cam.projmat, cam.tan_fovx, cam.tan_fovy,
+                     cfg.width, cfg.height, cfg.tile)
+    from relightable3dgaussians_w_tpu.ops.pallas.segment_sum import MACRO
+    num_tiles = cfg.grid_x * cfg.grid_y
+    d_aligned = cfg.max_dup + num_tiles * chunk
+    d_aligned = ((d_aligned + MACRO - 1) // MACRO) * MACRO
+    binning = bin_gaussians(pre, cfg.grid_x, cfg.grid_y, cfg.max_dup)
+    ref = align_entries(binning, num_tiles, chunk, d_aligned)
+    out = bin_gaussians_aligned(pre, cfg.grid_x, cfg.grid_y, cfg.max_dup, chunk)
+
+    assert int(out.overflow) == 0
+    np.testing.assert_array_equal(np.asarray(out.tile_start), np.asarray(ref.tile_start))
+    np.testing.assert_array_equal(np.asarray(out.tile_count), np.asarray(ref.tile_count))
+    np.testing.assert_array_equal(np.asarray(out.valid), np.asarray(ref.valid))
+    # gauss ids must agree on valid entries (padding ids are unconstrained).
+    v = np.asarray(ref.valid)
+    np.testing.assert_array_equal(np.asarray(out.gauss_id)[v], np.asarray(ref.gauss_id)[v])
+    assert int(out.num_entries) == int(binning.num_entries)
