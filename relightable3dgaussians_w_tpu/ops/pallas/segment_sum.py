@@ -6,20 +6,26 @@ sort + explicit row permute costs ~130ms (XLA's big random gathers/permutes run
 ~40x off HBM bandwidth at this shape: ~110ms for 300MB). This version:
 
   1. sorts the GRADIENT ROWS THEMSELVES as sort payloads keyed by segment id
-     (`lax.sort` moves payload through its passes at high bandwidth: measured
-     ~20ms + ~4.3ms per f32 payload at 4.8M entries — ~60ms for 9 rows, vs
-     130ms+ for sort-then-permute);
-  2. grids over output row blocks of B Gaussians; each block's (macro-rounded,
+     (`lax.sort` moves payload through its passes at high bandwidth: ~42ms for
+     key + 9 f32 rows at 4.8M entries, vs 130ms+ for sort-then-permute);
+  2. packs the sorted rows into ONE [n_macros, F, 4096] array so each grid step
+     issues a single 144KB DMA instead of F small ones (the per-row DMA variant
+     measured 100ms at this shape — pure descriptor latency: ~39k 16KB DMAs);
+  3. grids over output row blocks of B Gaussians; each block's (macro-rounded,
      overlapping) entry range is precomputed with the scatter-marks + cummax trick;
-  3. per macro-chunk, builds (B x LANES) one-hot local-id matrices by iota compare
-     and accumulates partial sums as MXU matmuls — f32, no atomics, fully
+  4. per macro-chunk, builds a (B x 4096) one-hot membership matrix by iota compare
+     and reduces all F rows with ONE MXU matmul — f32, no atomics, fully
      deterministic (the reference accumulates these same gradients with CUDA
      atomicAdd, backward.cu:523-554, which is run-to-run nondeterministic).
 
-The sorted rows stay as separate [D] arrays, reshaped (free) to [D/(8*lanes), 8,
-lanes] so the per-macro DMA slices a LEADING UNTILED dim — Mosaic rejects dynamic
+Precision: the one-hot factor is exactly representable in bf16, so a one-sided
+Dekker split of the row values (hi/mid/lo bf16 terms, each product exact on the MXU)
+reproduces the f32 segment-sum to ~2^-26 relative — the accuracy of
+precision=HIGHEST at 3 MXU passes instead of 6, and those passes ride ONE matmul
+with a 4096-deep contraction instead of eight 512-deep N=16 slivers.
+
+The DMA slices a LEADING UNTILED dim ([m] of [M, F, 4096]) — Mosaic rejects dynamic
 slices along the tiled sublane dim of a 2D memref ("must be aligned to tiling (8)").
-No concatenation copies anywhere.
 """
 
 from __future__ import annotations
@@ -31,81 +37,71 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 512
-SUBROWS = 8
-MACRO = SUBROWS * LANES  # entries per DMA step; D must be a multiple of this
+MACRO = 4096  # entries per DMA step; D must be a multiple of this
 
 
-def _kernel(starts_ref, uppers_ref, ids_ref, *rest, block, f_used, f_pad):
-    row_refs = rest[:f_used]
-    out_ref = rest[f_used]
-    ids_scratch, rows_scratch, sems, id_sems = rest[f_used + 1:]
-
+def _kernel(starts_ref, uppers_ref, packed_ref, out_ref,
+            rows_scratch, sems, *, block, f_used, f_pad, f_dma):
     b = pl.program_id(0)
     start_m = starts_ref[b]          # macro index, inclusive
     upper_m = uppers_ref[b]          # macro index, exclusive
     n_macros = jnp.maximum(upper_m - start_m, 0)
 
-    @pl.when(b == 0)
-    def _():
-        # Rows f_used..f_pad ride through the matmul but are never DMA'd: zero once
-        # (scratch persists across the sequential grid).
-        if f_used < f_pad:
-            rows_scratch[0, f_used:] = jnp.zeros(
-                (f_pad - f_used, SUBROWS, LANES), jnp.float32)
-            rows_scratch[1, f_used:] = jnp.zeros(
-                (f_pad - f_used, SUBROWS, LANES), jnp.float32)
-
-    def get_dmas(slot, m_idx):
-        row = start_m + m_idx
-        dmas = [pltpu.make_async_copy(ids_ref.at[pl.ds(row, 1)],
-                                      ids_scratch.at[slot], id_sems.at[slot])]
-        for i, r in enumerate(row_refs):
-            dmas.append(pltpu.make_async_copy(r.at[pl.ds(row, 1)],
-                                              rows_scratch.at[slot, pl.ds(i, 1)],
-                                              sems.at[slot, i]))
-        return dmas
+    def get_dma(slot, m_idx):
+        return pltpu.make_async_copy(packed_ref.at[pl.ds(start_m + m_idx, 1)],
+                                     rows_scratch.at[slot], sems.at[slot])
 
     @pl.when(n_macros > 0)
     def _():
-        for dma in get_dmas(0, 0):
-            dma.start()
+        get_dma(0, 0).start()
+
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (block, MACRO), 0).astype(jnp.float32)
 
     def body(m_idx, acc):
         slot = jnp.remainder(m_idx, 2)
 
         @pl.when(m_idx + 1 < n_macros)
         def _():
-            for dma in get_dmas(jnp.remainder(m_idx + 1, 2), m_idx + 1):
-                dma.start()
+            get_dma(jnp.remainder(m_idx + 1, 2), m_idx + 1).start()
 
-        for dma in get_dmas(slot, m_idx):
-            dma.wait()
-        ids_v = ids_scratch[slot, 0] - b * block          # [SUBROWS, LANES] int32
-        rows_v = rows_scratch[slot]                       # [f_pad, SUBROWS, LANES]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 0)
-        for j in range(SUBROWS):                          # static unroll
-            onehot = jnp.where(iota == ids_v[j : j + 1, :], 1.0, 0.0)
-            acc = acc + jax.lax.dot_general(
-                onehot, rows_v[:, j, :], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        return acc
+        get_dma(slot, m_idx).wait()
+        # Row 0 carries the segment ids as exact f32 (< 2^24); rows 1..1+f_used are
+        # the gradient rows; the rest is alignment padding (sublane slices of an
+        # HBM memref must be multiples of 8).
+        ids_v = rows_scratch[slot, 0, 0:1] - b * block    # [1, MACRO] f32, exact
+        rows_v = rows_scratch[slot, 0, 1:1 + f_used]      # [f_used, MACRO] f32
+        # One-sided Dekker split: rows = hi + mid + lo with each term bf16 and the
+        # residuals computed exactly in f32.
+        hi = rows_v.astype(jnp.bfloat16)
+        r1 = rows_v - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        hml = jnp.concatenate([hi, mid, lo], axis=0)      # [3*f_used, MACRO] bf16
+        onehot = jnp.where(ids_v == iota_b, 1.0, 0.0).astype(jnp.bfloat16)
+        return acc + jax.lax.dot_general(
+            hml, onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [3*f_used, block]
 
     acc = jax.lax.fori_loop(0, n_macros, body,
-                            jnp.zeros((block, f_pad), jnp.float32))
-    out_ref[...] = acc
+                            jnp.zeros((3 * f_used, block), jnp.float32))
+    total = acc[:f_used] + acc[f_used:2 * f_used] + acc[2 * f_used:]
+    out = total.T                                         # [block, f_used]
+    if f_used < f_pad:
+        out = jnp.concatenate(
+            [out, jnp.zeros((block, f_pad - f_used), jnp.float32)], axis=1)
+    out_ref[...] = out
 
 
 def segment_sum_rows(rows, ids: jnp.ndarray, num_segments: int,
-                     block: int = 512, interpret: bool = False) -> jnp.ndarray:
+                     block: int = 512, interpret: bool = False,
+                     presorted: bool = False) -> jnp.ndarray:
     """Sum rows with equal ids: out[i, f] = sum over e with ids[e] == i of
     rows[f][e].
 
     Args:
         rows: sequence of F [D] f32 arrays (D a multiple of MACRO=4096).
         ids: [D] int32 in [0, num_segments).
+        presorted: skip the id sort (profiling; ids must be nondecreasing).
     Returns:
         [num_segments_padded >= num_segments, F_pad >= F] — caller slices.
     """
@@ -117,18 +113,29 @@ def segment_sum_rows(rows, ids: jnp.ndarray, num_segments: int,
     n_pad = ((num_segments + block - 1) // block) * block
     n_blocks = n_pad // block
 
-    sorted_ops = jax.lax.sort((ids.astype(jnp.uint32),) + tuple(rows), num_keys=1)
+    if presorted:
+        sorted_ops = (ids.astype(jnp.uint32),) + tuple(rows)
+    else:
+        sorted_ops = jax.lax.sort((ids.astype(jnp.uint32),) + tuple(rows),
+                                  num_keys=1)
     ids_s = sorted_ops[0].astype(jnp.int32)
-    rows_s = [r.reshape(d // MACRO, SUBROWS, LANES) for r in sorted_ops[1:]]
-    ids_3d = ids_s.reshape(d // MACRO, SUBROWS, LANES)
+    # ONE packed array -> one DMA per macro step (see module docstring): row 0 is
+    # the ids as exact f32, rows 1..1+F the sorted gradient rows, padded to a
+    # multiple of 8 sublanes (Mosaic slice-alignment requirement).
+    f_dma = ((1 + f_used + 7) // 8) * 8
+    m = d // MACRO
+    lanes = [ids_s.astype(jnp.float32)] + list(sorted_ops[1:])
+    lanes += [jnp.zeros((d,), jnp.float32)] * (f_dma - len(lanes))
+    packed = jnp.stack([r.reshape(m, MACRO) for r in lanes], axis=1)
 
-    # Macro-aligned entry range per output block via scatter-marks + cummax: with
-    # sorted ids, block b's entries are [cum_last[b-1], cum_last[b]). Round outward
-    # to macro boundaries — overlap into neighbors is masked by the one-hot.
-    blk = jnp.minimum(ids_s // block, n_blocks - 1)
-    pos = jnp.arange(d, dtype=jnp.int32)
-    last0 = jnp.zeros((n_blocks,), jnp.int32).at[blk].max(pos + 1, mode="drop")
-    cum_last = jax.lax.cummax(last0)
+    # Macro-aligned entry range per output block: with sorted ids, block b's
+    # entries are [cum_last[b-1], cum_last[b]) where cum_last = searchsorted of the
+    # block boundaries — only n_blocks binary searches (a 4.8M-slot scatter-max
+    # formulation of the same thing measured 45ms on v5e; this is ~3ms). Ranges are
+    # rounded outward to macro boundaries — overlap into neighbors is masked by the
+    # one-hot.
+    bounds = jnp.arange(1, n_blocks + 1, dtype=jnp.uint32) * jnp.uint32(block)
+    cum_last = jnp.searchsorted(sorted_ops[0], bounds, side="left").astype(jnp.int32)
     prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum_last[:-1]])
     starts_m = prev // MACRO
     uppers_m = (cum_last + MACRO - 1) // MACRO
@@ -137,23 +144,22 @@ def segment_sum_rows(rows, ids: jnp.ndarray, num_segments: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + f_used),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((block, f_pad), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 1, SUBROWS, LANES), jnp.int32),
-            pltpu.VMEM((2, f_pad, SUBROWS, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, f_used)),
+            pltpu.VMEM((2, 1, f_dma, MACRO), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_kernel, block=block, f_used=f_used, f_pad=f_pad)
+    kernel = functools.partial(_kernel, block=block, f_used=f_used, f_pad=f_pad,
+                               f_dma=f_dma)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, f_pad), jnp.float32),
         interpret=interpret,
-    )(starts_m, uppers_m, ids_3d, *rows_s)
+    )(starts_m, uppers_m, packed)
     return out
 
 

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import build
 from relightable3dgaussians_w_tpu.ops.preprocess import preprocess
-from relightable3dgaussians_w_tpu.ops.binning import bin_gaussians, align_entries
+from relightable3dgaussians_w_tpu.ops.binning import bin_gaussians_aligned
 from relightable3dgaussians_w_tpu.ops.rasterize import (
     rasterize, _gather_features_t)
 from relightable3dgaussians_w_tpu.ops.pallas.wrapper import (
@@ -33,20 +33,17 @@ def main():
     means, scales, quats, opac, colors = arrs
     bg = jnp.zeros(3, jnp.float32)
     num_tiles = cfg.grid_x * cfg.grid_y
-    d_aligned = cfg.max_dup + num_tiles * cfg.pallas_chunk
-    print(f"n={n} res={W} max_dup={cfg.max_dup} d_aligned={d_aligned}")
+    print(f"n={n} res={W} max_dup={cfg.max_dup}")
 
     pre_f = jax.jit(lambda m, s, q: preprocess(
         m, s, q, cam.viewmat, cam.projmat, cam.tan_fovx, cam.tan_fovy,
         cfg.width, cfg.height, cfg.tile, cfg.scale_modifier, None, None))
     pre, t_pre = timeit(pre_f, means, scales, quats, name="preprocess")
 
-    bin_f = jax.jit(lambda p: bin_gaussians(p, cfg.grid_x, cfg.grid_y, cfg.max_dup,
-                                            cfg.max_tiles_per_gauss))
-    binning, t_bin = timeit(bin_f, pre, name="bin_gaussians (expand+sort)")
-
-    align_f = jax.jit(lambda b: align_entries(b, num_tiles, cfg.pallas_chunk, d_aligned))
-    aligned, t_al = timeit(align_f, binning, name="align_entries")
+    bin_f = jax.jit(lambda p: bin_gaussians_aligned(p, cfg.grid_x, cfg.grid_y,
+                                                    cfg.max_dup, cfg.pallas_chunk))
+    aligned, t_al = timeit(bin_f, pre, name="bin_gaussians_aligned (one sort)")
+    t_bin = 0.0
 
     gath_f = jax.jit(lambda p, a, o, c: _gather_features_t(p, a, o, c, None))
     feat_t, t_g = timeit(gath_f, pre, aligned, opac, colors, name="gather_features_t")
@@ -81,7 +78,7 @@ def main():
     g2 = jax.jit(jax.grad(loss2, argnums=(0, 1)))
     _, t_g2 = timeit(g2, opac, colors, name="gather+composite fwd+bwd")
 
-    print(f"\nsum of stages (fwd): {t_pre+t_bin+t_al+t_g+t_f:.1f} ms vs full fwd {t_ff:.1f}")
+    print(f"\nsum of stages (fwd): {t_pre+t_al+t_g+t_f:.1f} ms vs full fwd {t_ff:.1f}")
     print(f"full fwd+bwd: {t_full:.1f} ms")
 
 
