@@ -268,17 +268,16 @@ def bin_gaussians_aligned(pre: PreprocessOut, grid_x: int, grid_y: int,
 
     keys = jnp.concatenate([key_real, key_pad])
     gids = jnp.concatenate([g, jnp.zeros((pad_budget,), jnp.int32)])
-    _, sorted_gauss = jax.lax.sort((keys, gids), num_keys=1)
+    sorted_keys, sorted_gauss = jax.lax.sort((keys, gids), num_keys=1)
 
-    lane = jnp.arange(d_aligned, dtype=jnp.int32)
-    # valid = within a tile's true-count prefix (pads occupy each segment's tail).
-    # Lane -> tile via the same scatter-marks + cummax trick (mass searchsorted over
-    # millions of lanes is ~200ms on TPU; cummax is ~6ms).
-    seg_idx, _, _ = _expand_by_counts(seg, d_aligned)
-    in_prefix = lane < (aligned_start[seg_idx] + count_t[seg_idx])
+    # valid = the sorted key is a REAL entry: pads carry the all-ones rank sentinel
+    # and budget-invalid keys are u32-max (rank bits also all-ones), so one low-bits
+    # compare on the sorted keys replaces a 4.4M-slot scatter-marks/cummax lane->tile
+    # map + two table gathers (~35ms at 1M Gaussians on v5e).
+    valid = (sorted_keys & rank_sentinel) != rank_sentinel
     return AlignedEntries(
         gauss_id=sorted_gauss,
-        valid=in_prefix & (lane < seg_end[-1] if num_tiles > 0 else False),
+        valid=valid,
         tile_start=tile_start,
         tile_count=tile_count,
         num_entries=total,

@@ -152,7 +152,10 @@ def composite_backward(feat, tile_start, tile_end, bg, cfg: CompositeConfig,
         Q = jnp.cumsum(wc, axis=0)                                   # inclusive prefix
         total = Q[-1:]                                               # [1, P]
         S = total - Q                                                # suffix sum over j > g
-        B = gbar @ bg + gT                                           # [P]
+        # Default TPU matmul precision is bf16; B feeds d_alpha -> every geometry
+        # gradient, so pin f32 (the Pallas twin computes this product at HIGHEST).
+        B = jnp.einsum("pc,c->p", gbar, bg,
+                       precision=jax.lax.Precision.HIGHEST) + gT     # [P]
 
         contrib = include & (~aux["skip"])
         d_alpha = jnp.where(
@@ -185,7 +188,8 @@ def composite_backward(feat, tile_start, tile_end, bg, cfg: CompositeConfig,
             [jnp.stack([d_mx, d_my, d_ca, d_cb, d_cc, d_op], axis=-1), d_colors], axis=-1
         )                                                            # [L, F]
         d_rows = jnp.where(aux["valid"][:, None], d_rows, 0.0)
-        d_bg_tile = T_fin @ gbar                                     # [C]
+        d_bg_tile = jnp.einsum("p,pc->c", T_fin, gbar,
+                               precision=jax.lax.Precision.HIGHEST)  # [C]
         return d_rows, aux["idx"], aux["valid"], d_bg_tile
 
     d_rows, idxs, valids, d_bg_tiles = _map_tiles(per_tile, num_tiles, cfg.tile_chunk)

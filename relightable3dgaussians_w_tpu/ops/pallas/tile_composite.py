@@ -81,6 +81,23 @@ def _contract_lanes(a, b):
                                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
 
+def _dot_exact_rhs(x, U):
+    """x @ U where U is EXACTLY representable in bf16 (the 0/1 triangular masks):
+    one-sided Dekker split of x into hi/mid/lo bf16 terms — every product on the MXU
+    is exact, so the result matches f32 to ~2^-26 relative at 3 MXU passes instead of
+    precision=HIGHEST's 6 (same trick as ops/pallas/segment_sum.py). These triangular
+    prefix matmuls are the kernel's dominant MXU cost (~3.5 TFLOP/iter at 1M
+    Gaussians/800^2 in 6-pass mode)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    p = x.shape[0]
+    out = jax.lax.dot(jnp.concatenate([hi, mid, lo], axis=0), U.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    return out[:p] + out[p:2 * p] + out[2 * p:]
+
+
 # ------------------------------------------------------------------------- forward
 
 
@@ -128,7 +145,7 @@ def _fwd_kernel(starts_ref, counts_ref, feat_hbm, out_ref, tfin_ref,
         def _():
             get_dma(jnp.remainder(c_idx + 1, 2), c_idx + 1).start()
 
-        excl = jnp.dot(log1m, Us, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + log_praw
+        excl = _dot_exact_rhs(log1m, Us) + log_praw
         log_p_inc = excl + log1m
         include = log_p_inc >= jnp.log(T_EPS)
         w = jnp.where(include, alpha * jnp.exp(excl), 0.0)      # [P, CHUNK]
@@ -245,7 +262,7 @@ def _bwd_kernel(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
         alpha, aux = _chunk_alpha(rows, valid_len, px, py, chunk)
 
         log1m = jnp.log(1.0 - alpha)
-        excl = jnp.dot(log1m, Us, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + log_praw
+        excl = _dot_exact_rhs(log1m, Us) + log_praw
         log_p_inc = excl + log1m
         include = log_p_inc >= jnp.log(T_EPS)
         p_prev = jnp.exp(excl)
@@ -254,7 +271,7 @@ def _bwd_kernel(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
         colors = rows[6 : 6 + channels, :]                         # [C, CHUNK]
         cdotg = jnp.dot(gbar, colors, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [P, CHUNK]
         wc = w * cdotg
-        q_inc = jnp.dot(wc, Ui, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + q_carry
+        q_inc = _dot_exact_rhs(wc, Ui) + q_carry
         S = total - q_inc                                           # suffix sums
 
         contrib = include & (~aux["skip"])

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.graphics import covariance_3d, ndc_to_pixel
@@ -42,7 +43,10 @@ def compute_cov2d(p_orig: jnp.ndarray, cov3d: jnp.ndarray, viewmat: jnp.ndarray,
     Returns:
         [N, 3] 2D covariance (cxx, cxy, cyy) with the +0.3 low-pass applied.
     """
-    t = p_orig @ viewmat[:3, :3].T + viewmat[:3, 3]
+    # K=3 matmuls run at bf16 by default on TPU (~2^-8 rel on projected
+    # positions); pin f32 — negligible cost, positions are correctness-critical.
+    HI = jax.lax.Precision.HIGHEST
+    t = jnp.matmul(p_orig, viewmat[:3, :3].T, precision=HI) + viewmat[:3, 3]
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
     # Near-culled rows (z <= 0.2, auxiliary.h:154) never reach compositing, but their
@@ -115,11 +119,12 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
     grid_x = (width + tile - 1) // tile
     grid_y = (height + tile - 1) // tile
 
-    p_view_z = means3d @ viewmat[2, :3] + viewmat[2, 3]
+    HI = jax.lax.Precision.HIGHEST
+    p_view_z = jnp.matmul(means3d, viewmat[2, :3], precision=HI) + viewmat[2, 3]
     in_front = p_view_z > 0.2
 
-    p_hom = means3d @ projmat[:3, :3].T + projmat[:3, 3]
-    p_w = means3d @ projmat[3, :3] + projmat[3, 3]
+    p_hom = jnp.matmul(means3d, projmat[:3, :3].T, precision=HI) + projmat[:3, 3]
+    p_w = jnp.matmul(means3d, projmat[3, :3], precision=HI) + projmat[3, 3]
     inv_w = jnp.where(in_front, 1.0 / (p_w + 1e-7), 0.0)
     ndc_xy = p_hom[:, :2] * inv_w[:, None]
     mean2d = jnp.stack(

@@ -36,6 +36,7 @@ from .ops.knn import knn_dist2
 from .ops.rasterize import RasterizerConfig
 from .train_step import TrainState, make_train_fns, make_optimizer
 from .utils.general import grad_thr_exp_scheduling, sample_points_on_unit_hemisphere
+from .utils.logging import ProfilerWindow, StepTimer, TrainLogger
 
 
 def pad_cameras(cams: list[Camera]):
@@ -135,6 +136,12 @@ class Relightable3DGWTrainer:
             [1.0, 1.0, 1.0] if cfg.dataset.white_background else [0.0, 0.0, 0.0]
         )
         self.log_path = os.path.join(self.model_path, "train_log.jsonl")
+        self.logger = TrainLogger(
+            self.log_path,
+            tb_dir=self.model_path if cfg.runtime.tensorboard else None,
+        )
+        self.profiler = ProfilerWindow(cfg.runtime.profile_steps,
+                                       os.path.join(self.model_path, "profile"))
         with open(os.path.join(self.model_path, "relightable3DG-W_run.yaml"), "w") as f:
             json.dump(config_to_dict(cfg), f, indent=2, default=str)
 
@@ -150,6 +157,7 @@ class Relightable3DGWTrainer:
         rng = np.random.RandomState(cfg.runtime.seed)
         ema_loss = 0.0
         t0 = time.time()
+        timer = StepTimer()
 
         for it in range(1, iterations + 1):
             if not view_stack:
@@ -157,6 +165,8 @@ class Relightable3DGWTrainer:
             view = self.train_views[view_stack.pop(rng.randint(len(view_stack)))]
             cam = view["cam"]
             self.key, k_step = jax.random.split(self.key)
+            self.profiler.step(it)
+            timer.tic()
 
             self.state, aux = self.fns.train_step(
                 self.state, cam.matrices(), view["image"], view["sky_mask"],
@@ -164,17 +174,27 @@ class Relightable3DGWTrainer:
             )
 
             if it % log_every == 0 or it == 1:
-                loss = float(aux.loss)
+                loss = float(aux.loss)  # device pull synchronizes the step
+                iter_ms = timer.toc()
                 ema_loss = 0.4 * loss + 0.6 * ema_loss
                 rec = dict(
-                    iter=it, loss=loss, l1=float(aux.l1), psnr=float(aux.psnr),
+                    loss=loss, l1=float(aux.l1), psnr=float(aux.psnr),
                     alive=int(aux.num_alive), overflow=int(aux.overflow),
-                    iters_per_s=it / (time.time() - t0),
+                    iter_time=iter_ms, iters_per_s=it / (time.time() - t0),
                 )
-                with open(self.log_path, "a") as f:
-                    f.write(json.dumps(rec) + "\n")
+                self.logger.scalars(it, rec)
                 print(f"[{it}] loss={loss:.5f} psnr={rec['psnr']:.2f} "
                       f"alive={rec['alive']} {rec['iters_per_s']:.2f} it/s")
+
+            if self.logger.tb is not None and it % (log_every * 10) == 0:
+                p = self.state.params["gaussians"]
+                alive = np.asarray(self.state.gauss_state.alive)
+                self.logger.histogram(it, "opacity",
+                                      jax.nn.sigmoid(np.asarray(p.opacity)[alive, 0]))
+                self.logger.histogram(it, "roughness",
+                                      jax.nn.sigmoid(np.asarray(p.roughness)[alive, 0]))
+                self.logger.histogram(it, "metalness",
+                                      jax.nn.sigmoid(np.asarray(p.metalness)[alive, 0]))
 
             # Densification schedule (train.py:142-157).
             if it < o.densify_until_iter:
@@ -195,6 +215,8 @@ class Relightable3DGWTrainer:
 
             if it in set(save_iterations) or it == iterations:
                 self.save(it)
+        self.profiler.close()
+        self.logger.close()
         return self.state
 
     # --------------------------------------------------------------- checkpoints
