@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 import math
 
-from .preprocess import preprocess
+from .preprocess import preprocess, PreprocessOut
 from .binning import bin_gaussians, bin_gaussians_aligned, align_entries, BinningOut
 from .composite import CompositeConfig, composite_tiles, composite_tiles_autodiff
 
@@ -100,6 +100,10 @@ def _gather_features_t(pre, aligned, opacities, colors, mean2d_probe,
 
     mean2d = pre.mean2d if mean2d_probe is None else pre.mean2d + mean2d_probe
     f = 6 + colors.shape[-1]
+    # f is padded to a sublane multiple (Mosaic rejects non-multiple-of-8 leading
+    # dims in the kernels' [F, chunk] DMAs — verified on v5e). The padding is not
+    # pure waste: fused AOV channels (diffuse/specular/depth/normal) ride the spare
+    # rows for free in the training path.
     f_pad = ((f + 7) // 8) * 8
     parts = [mean2d, pre.conic, opacities[:, None], colors]
     if f_pad != f:
@@ -132,7 +136,7 @@ def rasterize_aux(means3d, scales, quats, cam: CameraMatrices, cfg: RasterizerCo
 def rasterize(means3d, scales, quats, opacities, colors, bg,
               cam: CameraMatrices, cfg: RasterizerConfig,
               mean2d_probe=None, cov3d_precomp=None, active=None,
-              use_autodiff_twin: bool = False):
+              use_autodiff_twin: bool = False, pre: PreprocessOut | None = None):
     """Render depth-sorted alpha-composited Gaussians.
 
     Args:
@@ -147,6 +151,8 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
         cov3d_precomp: optional [N, 6] world covariance override.
         use_autodiff_twin: route compositing through plain jax autodiff instead of the
             analytic custom_vjp backward (parity testing only).
+        pre: optional precomputed/modified PreprocessOut (the tile-parallel
+            renderer injects band-clamped rects; parallel/tile_parallel.py).
 
     Returns:
         image: [H, W, C]
@@ -159,17 +165,19 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
 
         num_tiles = cfg.grid_x * cfg.grid_y
         n = means3d.shape[0]
-        pre = preprocess(
-            means3d, scales, quats, cam.viewmat, cam.projmat, cam.tan_fovx,
-            cam.tan_fovy, cfg.width, cfg.height, cfg.tile, cfg.scale_modifier,
-            cov3d_precomp, active,
-        )
+        if pre is None:
+            pre = preprocess(
+                means3d, scales, quats, cam.viewmat, cam.projmat, cam.tan_fovx,
+                cam.tan_fovy, cfg.width, cfg.height, cfg.tile, cfg.scale_modifier,
+                cov3d_precomp, active,
+            )
         one_key = (math.ceil(math.log2(n + 1))
                    + math.ceil(math.log2(num_tiles + 2))) <= 32
         if one_key:
             # Single sort lands directly in the chunk-aligned layout.
             aligned = bin_gaussians_aligned(pre, cfg.grid_x, cfg.grid_y,
-                                            cfg.max_dup, cfg.pallas_chunk)
+                                            cfg.max_dup, cfg.pallas_chunk,
+                                            interpret=cfg.pallas_interpret)
         else:
             from .pallas.segment_sum import MACRO
 
@@ -188,8 +196,14 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
             feat_t, aligned.tile_start, aligned.tile_count, bg, pcfg)
         num_entries, overflow = aligned.num_entries, aligned.overflow
     else:
-        pre, binning = rasterize_aux(means3d, scales, quats, cam, cfg,
-                                     cov3d_precomp, active)
+        if pre is None:
+            pre = preprocess(
+                means3d, scales, quats, cam.viewmat, cam.projmat, cam.tan_fovx,
+                cam.tan_fovy, cfg.width, cfg.height, cfg.tile, cfg.scale_modifier,
+                cov3d_precomp, active,
+            )
+        binning = bin_gaussians(pre, cfg.grid_x, cfg.grid_y, cfg.max_dup,
+                                cfg.max_tiles_per_gauss)
         feat = _gather_features(pre, binning, opacities, colors, mean2d_probe)
         ccfg = CompositeConfig(
             grid_x=cfg.grid_x, grid_y=cfg.grid_y, tile=cfg.tile, channels=colors.shape[-1],
