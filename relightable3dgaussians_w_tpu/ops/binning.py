@@ -174,8 +174,50 @@ class AlignedEntries(NamedTuple):
     overflow: jnp.ndarray      # [] int32 entries dropped by the budget (0 = exact)
 
 
+def _expand_keys_xla(pre: PreprocessOut, counts, rect_w, n: int, max_dup: int,
+                     rank_bits: int, key_invalid, grid_x: int):
+    """XLA twin of pallas/expand.py: scatter-marks + cummax slot map, 8-column table
+    row-gather, elementwise key math (~43ms at 1M/4.2M on v5e — the expand kernel
+    does the same join in ~1/6 the time; kept as the reference twin and the fallback
+    for budgets that don't divide the kernel's 4096-slot grid)."""
+    g, offsets, total = _expand_by_counts(counts, max_dup)
+    rank = jnp.zeros((n,), jnp.uint32).at[jnp.argsort(pre.depth, stable=True)].set(
+        jnp.arange(n, dtype=jnp.uint32))
+    table = jnp.stack(
+        [
+            offsets.astype(jnp.float32),
+            counts.astype(jnp.float32),
+            pre.rect_min[:, 0].astype(jnp.float32),
+            pre.rect_min[:, 1].astype(jnp.float32),
+            rect_w.astype(jnp.float32),
+            1.0 / rect_w.astype(jnp.float32),
+            rank.astype(jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+        ],
+        axis=-1,
+    )
+    row = table[g]                                     # [max_dup, 8]
+    offs_g = row[:, 0].astype(jnp.int32)
+    counts_g = row[:, 1].astype(jnp.int32)
+    rx_g = row[:, 2].astype(jnp.int32)
+    ry_g = row[:, 3].astype(jnp.int32)
+    wg = row[:, 4].astype(jnp.int32)
+    rank_g = row[:, 6].astype(jnp.uint32)
+
+    slot = jnp.arange(max_dup, dtype=jnp.int32) - offs_g
+    valid = (slot < counts_g) & (jnp.arange(max_dup) < total)
+    q = jnp.floor(slot.astype(jnp.float32) * row[:, 5]).astype(jnp.int32)
+    r = slot - q * wg
+    q = jnp.where(r < 0, q - 1, jnp.where(r >= wg, q + 1, q))
+    r = slot - q * wg
+    tile = ((ry_g + q) * grid_x + rx_g + r).astype(jnp.uint32)
+    key_real = jnp.where(valid, (tile << rank_bits) | rank_g, key_invalid)
+    return key_real, g, total
+
+
 def bin_gaussians_aligned(pre: PreprocessOut, grid_x: int, grid_y: int,
-                          max_dup: int, chunk: int) -> AlignedEntries:
+                          max_dup: int, chunk: int, interpret: bool = False,
+                          use_expand_kernel: bool = True) -> AlignedEntries:
     """One-sort binning that lands DIRECTLY in the chunk-aligned layout the Pallas
     kernels stream — replacing bin_gaussians + align_entries (which cost a second
     4.8M-entry re-index: scatter-marks, cummax, and two big gathers, ~75ms at 1M
@@ -222,41 +264,34 @@ def bin_gaussians_aligned(pre: PreprocessOut, grid_x: int, grid_y: int,
     tile_start = jnp.minimum(aligned_start, d_aligned - chunk)
     tile_count = jnp.minimum(count_t, d_aligned - tile_start)
 
-    # --- real entries: slot-major expansion over Gaussians (as bin_gaussians) ---
+    # --- real entries: slot-major expansion over Gaussians ---
     counts = pre.tiles_touched.astype(jnp.int32)
-    g, offsets, total = _expand_by_counts(counts, max_dup)
-    rank = jnp.zeros((n,), jnp.uint32).at[jnp.argsort(pre.depth, stable=True)].set(
-        jnp.arange(n, dtype=jnp.uint32))
     rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
-    table = jnp.stack(
-        [
-            offsets.astype(jnp.float32),
-            counts.astype(jnp.float32),
-            pre.rect_min[:, 0].astype(jnp.float32),
-            pre.rect_min[:, 1].astype(jnp.float32),
-            rect_w.astype(jnp.float32),
-            1.0 / rect_w.astype(jnp.float32),
-            rank.astype(jnp.float32),
-            jnp.zeros((n,), jnp.float32),
-        ],
-        axis=-1,
-    )
-    row = table[g]                                     # [max_dup, 8]
-    offs_g = row[:, 0].astype(jnp.int32)
-    counts_g = row[:, 1].astype(jnp.int32)
-    rx_g = row[:, 2].astype(jnp.int32)
-    ry_g = row[:, 3].astype(jnp.int32)
-    wg = row[:, 4].astype(jnp.int32)
-    rank_g = row[:, 6].astype(jnp.uint32)
+    if use_expand_kernel and max_dup % 4096 == 0 and max_dup < (1 << 23):
+        from .pallas.expand import expand_entries
 
-    slot = jnp.arange(max_dup, dtype=jnp.int32) - offs_g
-    valid = (slot < counts_g) & (jnp.arange(max_dup) < total)
-    q = jnp.floor(slot.astype(jnp.float32) * row[:, 5]).astype(jnp.int32)
-    r = slot - q * wg
-    q = jnp.where(r < 0, q - 1, jnp.where(r >= wg, q + 1, q))
-    r = slot - q * wg
-    tile = ((ry_g + q) * grid_x + rx_g + r).astype(jnp.uint32)
-    key_real = jnp.where(valid, (tile << rank_bits) | rank_g, key_invalid)
+        # Depth-rank the rows with culled (count 0) rows sorted last, so live rows
+        # form a strictly-increasing-offs prefix (the kernel's monotone-join
+        # precondition). Stable ties keep the reference's duplication order.
+        depth_key = jnp.where(counts > 0, pre.depth, jnp.inf)
+        _, cnt_s, rx_s, ry_s, w_s, oid_s = jax.lax.sort(
+            (depth_key, counts, pre.rect_min[:, 0], pre.rect_min[:, 1], rect_w,
+             jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True)
+        offs_s = (jnp.cumsum(cnt_s) - cnt_s).astype(jnp.int32)
+        total = (offs_s[-1] + cnt_s[-1]).astype(jnp.int32) if n > 0 else jnp.int32(0)
+        offs_f = offs_s.astype(jnp.float32)
+        table_t = jnp.stack(
+            [offs_f, rx_s.astype(jnp.float32), ry_s.astype(jnp.float32),
+             w_s.astype(jnp.float32), oid_s.astype(jnp.float32),
+             jnp.arange(n, dtype=jnp.float32),
+             jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32)],
+            axis=0,
+        )
+        key_real, g = expand_entries(table_t, offs_f, total, max_dup, rank_bits,
+                                     grid_x, interpret=interpret)
+    else:
+        key_real, g, total = _expand_keys_xla(pre, counts, rect_w, n, max_dup,
+                                              rank_bits, key_invalid, grid_x)
 
     # --- pad entries: expansion over tiles (budget num_tiles * chunk) ---
     pad_t = (seg - tile_count).astype(jnp.int32)  # clamped count keeps pads in range

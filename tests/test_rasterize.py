@@ -144,13 +144,19 @@ def test_bin_gaussians_aligned_matches_two_stage():
     d_aligned = ((d_aligned + MACRO - 1) // MACRO) * MACRO
     binning = bin_gaussians(pre, cfg.grid_x, cfg.grid_y, cfg.max_dup)
     ref = align_entries(binning, num_tiles, chunk, d_aligned)
-    out = bin_gaussians_aligned(pre, cfg.grid_x, cfg.grid_y, cfg.max_dup, chunk)
+    xla = bin_gaussians_aligned(pre, cfg.grid_x, cfg.grid_y, cfg.max_dup, chunk,
+                                use_expand_kernel=False)
+    # Pallas expand-kernel path (interpret on CPU); needs a 4096-multiple budget.
+    kern = bin_gaussians_aligned(pre, cfg.grid_x, cfg.grid_y, cfg.max_dup, chunk,
+                                 interpret=True, use_expand_kernel=True)
+    assert cfg.max_dup % 4096 == 0, "test must exercise the expand kernel"
 
-    assert int(out.overflow) == 0
-    np.testing.assert_array_equal(np.asarray(out.tile_start), np.asarray(ref.tile_start))
-    np.testing.assert_array_equal(np.asarray(out.tile_count), np.asarray(ref.tile_count))
-    np.testing.assert_array_equal(np.asarray(out.valid), np.asarray(ref.valid))
-    # gauss ids must agree on valid entries (padding ids are unconstrained).
-    v = np.asarray(ref.valid)
-    np.testing.assert_array_equal(np.asarray(out.gauss_id)[v], np.asarray(ref.gauss_id)[v])
-    assert int(out.num_entries) == int(binning.num_entries)
+    for out in (xla, kern):
+        assert int(out.overflow) == 0
+        np.testing.assert_array_equal(np.asarray(out.tile_start), np.asarray(ref.tile_start))
+        np.testing.assert_array_equal(np.asarray(out.tile_count), np.asarray(ref.tile_count))
+        np.testing.assert_array_equal(np.asarray(out.valid), np.asarray(ref.valid))
+        # gauss ids must agree on valid entries (padding ids are unconstrained).
+        v = np.asarray(ref.valid)
+        np.testing.assert_array_equal(np.asarray(out.gauss_id)[v], np.asarray(ref.gauss_id)[v])
+        assert int(out.num_entries) == int(binning.num_entries)
