@@ -39,15 +39,29 @@ def build(n, W, H, seed=0):
     colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
     cam = _camera(W, H)
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1" and jax.default_backend() == "tpu"
+    arrs = tuple(jnp.asarray(a) for a in (means, scales, quats, opac, colors))
+
+    # Size the static entry budget from the actual count (+5% headroom), like the
+    # reference sizes its key buffer from the scanned duplicate count
+    # (rasterizer_impl.cu:280-285) — the overflow counter still reports any clamp.
+    max_dup = int(os.environ.get("BENCH_MAX_DUP", 0))
+    if max_dup == 0:
+        from relightable3dgaussians_w_tpu.ops.preprocess import preprocess
+
+        total = int(jax.jit(lambda m, s, q, o: jnp.sum(preprocess(
+            m, s, q, cam.viewmat, cam.projmat, cam.tan_fovx, cam.tan_fovy,
+            W, H, 16, opacities=o).tiles_touched))(*arrs[:3], arrs[3]))
+        max_dup = min(max(((int(total * 1.05) + 4095) // 4096) * 4096, 4096), 1 << 23)
+
     cfg = RasterizerConfig(
         width=W, height=H,
-        max_dup=int(os.environ.get("BENCH_MAX_DUP", 1 << 22)),
+        max_dup=max_dup,
         max_tiles_per_gauss=16,
         lmax_per_tile=int(os.environ.get("BENCH_LMAX", 4096)),
         tile_chunk=int(os.environ.get("BENCH_TILE_CHUNK", 8)),
         use_pallas=use_pallas,
+        pallas_chunk=int(os.environ.get("BENCH_CHUNK", 256)),
     )
-    arrs = tuple(jnp.asarray(a) for a in (means, scales, quats, opac, colors))
     return arrs, cam, cfg
 
 

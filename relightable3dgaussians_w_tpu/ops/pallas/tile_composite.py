@@ -98,6 +98,28 @@ def _dot_exact_rhs(x, U):
     return out[:p] + out[p:2 * p] + out[2 * p:]
 
 
+def _prefix_exact(x, strict):
+    """Row prefix-sum along lanes of x [P, chunk] (strict-exclusive or inclusive) as
+    128-wide triangular Dekker matmuls + f32 block-carry adds: an n-block chunk costs
+    n [3P,128]x[128,128] passes instead of one [3P,chunk]x[chunk,chunk] — 1/n of the
+    MXU FLOPs (128 is the floor: smaller contraction dims pad to the MXU tile). At
+    least as accurate as the one-shot form (each block sums 128 terms instead of
+    `chunk` in the f32 accumulator; carries are plain f32 adds)."""
+    chunk = x.shape[1]
+    if chunk <= 128 or chunk % 128 != 0:
+        return _dot_exact_rhs(x, _triu(chunk, strict))
+    U = _triu(128, strict)
+    outs = []
+    carry = None
+    for i in range(chunk // 128):
+        xb = x[:, i * 128 : (i + 1) * 128]
+        eb = _dot_exact_rhs(xb, U)
+        outs.append(eb if carry is None else eb + carry)
+        tot = eb[:, 127:128] + xb[:, 127:128] if strict else eb[:, 127:128]
+        carry = tot if carry is None else carry + tot
+    return jnp.concatenate(outs, axis=1)
+
+
 # ------------------------------------------------------------------------- forward
 
 
@@ -111,7 +133,6 @@ def _fwd_kernel(starts_ref, counts_ref, feat_hbm, out_ref, tfin_ref,
     P = tile * tile
     n_chunks = pl.cdiv(count, chunk)
     px, py = _pixel_coords(tx, ty, tile, P)
-    Us = _triu(chunk, strict=True)
 
     def get_dma(slot, c_idx):
         return pltpu.make_async_copy(
@@ -145,7 +166,7 @@ def _fwd_kernel(starts_ref, counts_ref, feat_hbm, out_ref, tfin_ref,
         def _():
             get_dma(jnp.remainder(c_idx + 1, 2), c_idx + 1).start()
 
-        excl = _dot_exact_rhs(log1m, Us) + log_praw
+        excl = _prefix_exact(log1m, True) + log_praw
         log_p_inc = excl + log1m
         include = log_p_inc >= jnp.log(T_EPS)
         w = jnp.where(include, alpha * jnp.exp(excl), 0.0)      # [P, CHUNK]
@@ -212,8 +233,8 @@ def composite_forward_pallas(feat_t, tile_start, tile_count, bg, *, grid_x, grid
 
 
 def _bwd_kernel(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
-                tfin_ref, dfeat_hbm, scratch, out_scratch, sems, out_sems,
-                *, tile, chunk, channels, f_pad, grid_x):
+                tfin_ref, dfeat_hbm, scratch, out_scratch, carry_vmem, sems,
+                out_sems, done_smem, *, tile, chunk, channels, f_pad, grid_x):
     t = pl.program_id(0)
     tx = t % grid_x
     ty = t // grid_x
@@ -222,8 +243,6 @@ def _bwd_kernel(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
     P = tile * tile
     n_chunks = pl.cdiv(count, chunk)
     px, py = _pixel_coords(tx, ty, tile, P)
-    Us = _triu(chunk, strict=True)
-    Ui = _triu(chunk, strict=False)
 
     gbar = gbar_ref[0]        # [P, C]
     total = total_ref[0]      # [P, 1]
@@ -248,78 +267,104 @@ def _bwd_kernel(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
     def _():
         get_dma(0, 0).start()
 
-    def body(c_idx, carry):
-        log_praw, q_carry = carry
+    done_smem[0] = 0
+    carry_vmem[0] = jnp.zeros((P, 1), jnp.float32)   # log_praw
+    carry_vmem[1] = jnp.zeros((P, 1), jnp.float32)   # q_carry
+
+    def body(c_idx, _):
         slot = jnp.remainder(c_idx, 2)
 
-        @pl.when(c_idx + 1 < n_chunks)
-        def _():
-            get_dma(jnp.remainder(c_idx + 1, 2), c_idx + 1).start()
-
-        get_dma(slot, c_idx).wait()
-        rows = scratch[slot]
-        valid_len = count - c_idx * chunk
-        alpha, aux = _chunk_alpha(rows, valid_len, px, py, chunk)
-
-        log1m = jnp.log(1.0 - alpha)
-        excl = _dot_exact_rhs(log1m, Us) + log_praw
-        log_p_inc = excl + log1m
-        include = log_p_inc >= jnp.log(T_EPS)
-        p_prev = jnp.exp(excl)
-        w = jnp.where(include, alpha * p_prev, 0.0)
-
-        colors = rows[6 : 6 + channels, :]                         # [C, CHUNK]
-        cdotg = jnp.dot(gbar, colors, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [P, CHUNK]
-        wc = w * cdotg
-        q_inc = _dot_exact_rhs(wc, Ui) + q_carry
-        S = total - q_inc                                           # suffix sums
-
-        contrib = include & (~aux["skip"])
-        d_alpha = jnp.where(
-            contrib, p_prev * cdotg - (S + tfin * B) / (1.0 - alpha), 0.0
-        )
-        G = aux["G"]
-        op = aux["op"]
-        dG = op * d_alpha                                           # dL/dG
-        d_op = jnp.sum(G * d_alpha, axis=0, keepdims=True)          # [1, CHUNK]
-        d_colors = jax.lax.dot_general(                             # [C, CHUNK]
-            gbar, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-        gdx = G * aux["dx"]
-        gdy = G * aux["dy"]
-        d_mx = jnp.sum(dG * (-(gdx * aux["ca"] + gdy * aux["cb"])), axis=0, keepdims=True)
-        d_my = jnp.sum(dG * (-(gdy * aux["cc"] + gdx * aux["cb"])), axis=0, keepdims=True)
-        d_ca = jnp.sum(-0.5 * gdx * aux["dx"] * dG, axis=0, keepdims=True)
-        d_cb = jnp.sum(-(gdx * aux["dy"]) * dG, axis=0, keepdims=True)
-        d_cc = jnp.sum(-0.5 * gdy * aux["dy"] * dG, axis=0, keepdims=True)
-
+        # Reuse of out_scratch[slot] must wait for its previous put.
         @pl.when(c_idx >= 2)
         def _():
             put_dma(slot, c_idx - 2).wait()
 
-        out_scratch[slot, 0:1] = d_mx
-        out_scratch[slot, 1:2] = d_my
-        out_scratch[slot, 2:3] = d_ca
-        out_scratch[slot, 3:4] = d_cb
-        out_scratch[slot, 4:5] = d_cc
-        out_scratch[slot, 5:6] = d_op
-        out_scratch[slot, 6 : 6 + channels] = d_colors
-        @pl.when(6 + channels < f_pad)
+        done = done_smem[0] == 1
+
+        # Early exit mirroring the forward's T < 1e-4 termination: every entry past
+        # the terminated point has include=False => all its gradients are exactly
+        # zero, so later chunks skip the DMA reads and all compute and just flush
+        # zeros (the reference backward instead re-walks the full tile list
+        # back-to-front from the end, backward.cu:434-478).
+        @pl.when(jnp.logical_not(done))
         def _():
-            out_scratch[slot, 6 + channels :] = jnp.zeros(
-                (f_pad - 6 - channels, chunk), jnp.float32
+            get_dma(slot, c_idx).wait()
+            rows = scratch[slot]
+            log_praw = carry_vmem[0]
+            q_carry = carry_vmem[1]
+            valid_len = count - c_idx * chunk
+            alpha, aux = _chunk_alpha(rows, valid_len, px, py, chunk)
+            log1m = jnp.log(1.0 - alpha)
+            log_praw_new = jnp.maximum(
+                log_praw + jnp.sum(log1m, axis=1, keepdims=True), NEG_LOG_EPS)
+            alive = jnp.max(log_praw_new) >= jnp.log(T_EPS)
+
+            # Prefetch before the heavy matmuls, but only if the loop continues.
+            @pl.when((c_idx + 1 < n_chunks) & alive)
+            def _():
+                get_dma(jnp.remainder(c_idx + 1, 2), c_idx + 1).start()
+
+            excl = _prefix_exact(log1m, True) + log_praw
+            log_p_inc = excl + log1m
+            include = log_p_inc >= jnp.log(T_EPS)
+            p_prev = jnp.exp(excl)
+            w = jnp.where(include, alpha * p_prev, 0.0)
+
+            colors = rows[6 : 6 + channels, :]                       # [C, CHUNK]
+            cdotg = jnp.dot(gbar, colors, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)     # [P, CHUNK]
+            wc = w * cdotg
+            q_inc = _prefix_exact(wc, False) + q_carry
+            S = total - q_inc                                        # suffix sums
+
+            contrib = include & (~aux["skip"])
+            d_alpha = jnp.where(
+                contrib, p_prev * cdotg - (S + tfin * B) / (1.0 - alpha), 0.0
             )
+            G = aux["G"]
+            op = aux["op"]
+            dG = op * d_alpha                                        # dL/dG
+            d_op = jnp.sum(G * d_alpha, axis=0, keepdims=True)       # [1, CHUNK]
+            d_colors = jax.lax.dot_general(                          # [C, CHUNK]
+                gbar, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+            gdx = G * aux["dx"]
+            gdy = G * aux["dy"]
+            d_mx = jnp.sum(dG * (-(gdx * aux["ca"] + gdy * aux["cb"])), axis=0, keepdims=True)
+            d_my = jnp.sum(dG * (-(gdy * aux["cc"] + gdx * aux["cb"])), axis=0, keepdims=True)
+            d_ca = jnp.sum(-0.5 * gdx * aux["dx"] * dG, axis=0, keepdims=True)
+            d_cb = jnp.sum(-(gdx * aux["dy"]) * dG, axis=0, keepdims=True)
+            d_cc = jnp.sum(-0.5 * gdy * aux["dy"] * dG, axis=0, keepdims=True)
+
+            out_scratch[slot, 0:1] = d_mx
+            out_scratch[slot, 1:2] = d_my
+            out_scratch[slot, 2:3] = d_ca
+            out_scratch[slot, 3:4] = d_cb
+            out_scratch[slot, 4:5] = d_cc
+            out_scratch[slot, 5:6] = d_op
+            out_scratch[slot, 6 : 6 + channels] = d_colors
+
+            @pl.when(6 + channels < f_pad)
+            def _():
+                out_scratch[slot, 6 + channels :] = jnp.zeros(
+                    (f_pad - 6 - channels, chunk), jnp.float32
+                )
+
+            carry_vmem[0] = log_praw_new
+            carry_vmem[1] = q_carry + jnp.sum(wc, axis=1, keepdims=True)
+            done_smem[0] = jnp.where(alive, 0, 1)
+
+        @pl.when(done)
+        def _():
+            out_scratch[slot] = jnp.zeros((f_pad, chunk), jnp.float32)
+
         put_dma(slot, c_idx).start()
+        return 0
 
-        log_praw = jnp.maximum(log_praw + jnp.sum(log1m, axis=1, keepdims=True),
-                               NEG_LOG_EPS)
-        q_carry = q_carry + jnp.sum(wc, axis=1, keepdims=True)
-        return log_praw, q_carry
-
-    init = (jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32))
-    jax.lax.fori_loop(0, n_chunks, body, init)
+    jax.lax.fori_loop(0, n_chunks, body, 0)
 
     @pl.when(n_chunks >= 2)
     def _():
@@ -363,8 +408,10 @@ def composite_backward_pallas(feat_t, tile_start, tile_count, bg, tiles_rgb,
         scratch_shapes=[
             pltpu.VMEM((2, f_pad, chunk), jnp.float32),
             pltpu.VMEM((2, f_pad, chunk), jnp.float32),
+            pltpu.VMEM((2, P, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     kernel = functools.partial(_bwd_kernel, tile=tile, chunk=chunk,

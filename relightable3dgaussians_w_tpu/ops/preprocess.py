@@ -9,6 +9,18 @@ Numerics match the reference exactly: near-cull at view z <= 0.2 (auxiliary.h:13
 homogeneous epsilon 1e-7, the 1.3*tanfov frustum clamp before the Jacobian, the +0.3
 screen-space low-pass, the max(0.1, ...) eigenvalue guard, radius = ceil(3*sigma_max),
 and the BLOCK-aligned tile rectangle of getRect (auxiliary.h:46-56).
+
+One deliberate, image-exact improvement over the reference: when `opacities` is
+given, the binning rectangle is the reference's square (half-width radius = 3*sigma_max)
+INTERSECTED with the per-axis box |dx| <= tau*sqrt(cov_xx), |dy| <= tau*sqrt(cov_yy)
+where tau^2 = 2*ln(255*op). Every culled (Gaussian, tile) entry satisfies
+alpha = min(0.99, op*exp(power)) < 1/255 at every pixel of the tile (because
+min over dy of d^T Sigma^-1 d = dx^2 / cov_xx), which BOTH compositors skip — forward
+(forward.cu:329-335) and backward (backward.cu:490-496) — so the rendered image,
+final transmittance, and every gradient are bitwise unchanged while the entry count
+(and thus sort/gather/composite cost) drops sharply for anisotropic or low-opacity
+Gaussians. `radius` and the visibility filter still use the reference square so
+densification bookkeeping is untouched.
 """
 
 from __future__ import annotations
@@ -101,7 +113,8 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
                tan_fovx, tan_fovy, width: int, height: int, tile: int,
                scale_modifier: float = 1.0,
                cov3d_precomp: jnp.ndarray | None = None,
-               active: jnp.ndarray | None = None) -> PreprocessOut:
+               active: jnp.ndarray | None = None,
+               opacities: jnp.ndarray | None = None) -> PreprocessOut:
     """Vectorized equivalent of preprocessCUDA (forward.cu:156-256).
 
     Args:
@@ -113,6 +126,9 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
         cov3d_precomp: optional [N, 6] precomputed world covariance.
         active: optional [N] bool — rows with False are culled outright (used for the
             fixed-capacity Gaussian pool's alive mask).
+        opacities: optional [N] activated opacities in (0, 1); enables the exact
+            opacity-aware rect tightening (module docstring). Rendering output is
+            identical with or without it; only the entry count changes.
     """
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
@@ -145,18 +161,54 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
     # max(..., 0): culled rows can carry garbage covariances; keep radius finite.
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(jnp.maximum(lambda1, mid - disc), 0.0)))
 
-    # Tile rectangle (auxiliary.h:46-56), exclusive max, clamped to the grid.
-    rx_min = jnp.clip(jnp.floor((mean2d[:, 0] - radius_f) / tile), 0, grid_x).astype(jnp.int32)
-    ry_min = jnp.clip(jnp.floor((mean2d[:, 1] - radius_f) / tile), 0, grid_y).astype(jnp.int32)
-    rx_max = jnp.clip(jnp.floor((mean2d[:, 0] + radius_f + tile - 1) / tile), 0, grid_x).astype(jnp.int32)
-    ry_max = jnp.clip(jnp.floor((mean2d[:, 1] + radius_f + tile - 1) / tile), 0, grid_y).astype(jnp.int32)
+    # Reference tile rectangle (auxiliary.h:46-56), exclusive max, clamped to the
+    # grid. `alive`/`radius` (the visibility filter) ALWAYS use this square.
+    def rect(bx, by):
+        x0 = jnp.clip(jnp.floor((mean2d[:, 0] - bx) / tile), 0, grid_x).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor((mean2d[:, 1] - by) / tile), 0, grid_y).astype(jnp.int32)
+        x1 = jnp.clip(jnp.floor((mean2d[:, 0] + bx + tile - 1) / tile), 0, grid_x).astype(jnp.int32)
+        y1 = jnp.clip(jnp.floor((mean2d[:, 1] + by + tile - 1) / tile), 0, grid_y).astype(jnp.int32)
+        return x0, y0, x1, y1
+
+    rx_min, ry_min, rx_max, ry_max = rect(radius_f, radius_f)
     area = (rx_max - rx_min) * (ry_max - ry_min)
 
     alive = in_front & det_ok & (area > 0)
     if active is not None:
         alive = alive & active
     radius = jnp.where(alive, radius_f, 0.0).astype(jnp.int32)
-    tiles_touched = jnp.where(alive, area, 0).astype(jnp.int32)
+
+    if opacities is not None:
+        # Exact opacity-aware tightening (module docstring): every tile removed here
+        # has alpha < 1/255 at all of its (integer-coordinate) pixels, which both
+        # compositors skip. Pixels px with |mx - px| <= bx live in tiles
+        # [floor((mx-bx)/tile), floor((mx+bx)/tile)] — an EXACT coverage formula
+        # (the reference's `(p + r + tile - 1) / tile` can truncate the last covered
+        # pixel, so it is not reused here); the result is then intersected with the
+        # reference square so no tile the reference excludes is ever added. The
+        # 1.0001 factor + 0.5 px absorb f32 rounding in the compositor's power chain
+        # (the analytic margin at the tile boundary is ~1e-3 in power units, ~1e4 x
+        # any accumulated ulp error); op < 1/255 can never contribute anywhere.
+        op = opacities[:, 0] if opacities.ndim == 2 else opacities
+        tau = jnp.sqrt(jnp.maximum(2.0 * jnp.log(255.0 * jnp.maximum(op, 1e-12)), 0.0))
+        bx = tau * jnp.sqrt(jnp.maximum(cxx, 0.0)) * 1.0001 + 0.5
+        by = tau * jnp.sqrt(jnp.maximum(cyy, 0.0)) * 1.0001 + 0.5
+        tx0 = jnp.clip(jnp.floor((mean2d[:, 0] - bx) / tile), 0, grid_x).astype(jnp.int32)
+        ty0 = jnp.clip(jnp.floor((mean2d[:, 1] - by) / tile), 0, grid_y).astype(jnp.int32)
+        tx1 = jnp.clip(jnp.floor((mean2d[:, 0] + bx) / tile) + 1, 0, grid_x).astype(jnp.int32)
+        ty1 = jnp.clip(jnp.floor((mean2d[:, 1] + by) / tile) + 1, 0, grid_y).astype(jnp.int32)
+        rx_min = jnp.maximum(rx_min, tx0)
+        ry_min = jnp.maximum(ry_min, ty0)
+        rx_max = jnp.minimum(rx_max, tx1)
+        ry_max = jnp.minimum(ry_max, ty1)
+        area_t = (jnp.maximum(rx_max - rx_min, 0) * jnp.maximum(ry_max - ry_min, 0))
+        contributes = alive & (op >= 1.0 / 255.0)
+        tiles_touched = jnp.where(contributes, area_t, 0).astype(jnp.int32)
+        # Keep rect fields consistent with tiles_touched for the rect walk.
+        rx_min = jnp.minimum(rx_min, rx_max)
+        ry_min = jnp.minimum(ry_min, ry_max)
+    else:
+        tiles_touched = jnp.where(alive, area, 0).astype(jnp.int32)
 
     return PreprocessOut(
         mean2d=mean2d,

@@ -169,7 +169,7 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
             pre = preprocess(
                 means3d, scales, quats, cam.viewmat, cam.projmat, cam.tan_fovx,
                 cam.tan_fovy, cfg.width, cfg.height, cfg.tile, cfg.scale_modifier,
-                cov3d_precomp, active,
+                cov3d_precomp, active, opacities,
             )
         one_key = (math.ceil(math.log2(n + 1))
                    + math.ceil(math.log2(num_tiles + 2))) <= 32
@@ -200,7 +200,7 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
             pre = preprocess(
                 means3d, scales, quats, cam.viewmat, cam.projmat, cam.tan_fovx,
                 cam.tan_fovy, cfg.width, cfg.height, cfg.tile, cfg.scale_modifier,
-                cov3d_precomp, active,
+                cov3d_precomp, active, opacities,
             )
         binning = bin_gaussians(pre, cfg.grid_x, cfg.grid_y, cfg.max_dup,
                                 cfg.max_tiles_per_gauss)

@@ -71,7 +71,7 @@ def render_tile_sharded(means3d, scales, quats, opacities, colors, bg,
         pre = preprocess(
             means3d, scales, quats, cam.viewmat, cam.projmat, cam.tan_fovx,
             cam.tan_fovy, cfg.width, cfg.height, cfg.tile, cfg.scale_modifier,
-            None, None,
+            None, None, opacities,
         )
         img, aux = rasterize(means3d, scales, quats, opacities, colors, bg,
                              cam, band_cfg, pre=_band_pre(pre, band_gy, cfg.tile, axis))
