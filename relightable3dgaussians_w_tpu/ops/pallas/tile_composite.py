@@ -42,6 +42,19 @@ from ..composite import ALPHA_MIN, ALPHA_SAT, T_EPS
 NEG_LOG_EPS = -50.0  # exp(-50) ~ 2e-22: "zero" transmittance in log space
 
 
+def _pixel_basis(tile, P):
+    """Tile-LOCAL quadratic pixel basis [P, 6]: [1, px, py, px^2, py^2, px*py] with
+    px, py in [0, tile). All entries are integers <= (tile-1)^2 <= 225, EXACTLY
+    representable in bf16 — so basis matmuls need no Dekker split on this side, and
+    working tile-locally keeps moment recombinations at f32 accuracy (global pixel
+    coords would put ~6e5-magnitude px^2 terms against an O(10) result)."""
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = jnp.remainder(pix, tile).astype(jnp.float32)
+    py = (pix // tile).astype(jnp.float32)
+    one = jnp.ones((P, 1), jnp.float32)
+    return jnp.concatenate([one, px, py, px * px, py * py, px * py], axis=1)
+
+
 def _pixel_coords(tx, ty, tile, P):
     pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     px = (tx * tile).astype(jnp.float32) + jnp.remainder(pix, tile).astype(jnp.float32)
@@ -50,7 +63,15 @@ def _pixel_coords(tx, ty, tile, P):
 
 
 def _chunk_alpha(rows, valid_len, px, py, chunk):
-    """rows: [F, CHUNK]; returns alpha [P, CHUNK] and aux terms."""
+    """rows: [F, CHUNK]; returns alpha [P, CHUNK] and aux terms.
+
+    power is evaluated on the VPU with EXACTLY the jnp twin's operation order: the
+    reference's skip predicate power > 0 (forward.cu:343) is a discontinuity of
+    height ~opacity (a pixel AT a Gaussian center has power = 0 and alpha = op), so
+    any rounding difference flips whole contributions. An MXU bilinear-form power
+    (basis(p) . Q(e)) was measured ~2x cheaper per chunk but its ~1e-4 rounding
+    flipped ~1 pixel per 50M pixel-entry pairs against the twin — image error O(op)
+    at that pixel and garbage grads along its whole compositing chain."""
     mx = rows[0:1, :]
     my = rows[1:2, :]
     ca = rows[2:3, :]
@@ -66,7 +87,17 @@ def _chunk_alpha(rows, valid_len, px, py, chunk):
     invalid = lane >= valid_len
     skip = (power > 0.0) | (alpha_raw < ALPHA_MIN) | invalid
     alpha = jnp.where(skip, 0.0, alpha_raw)
-    return alpha, dict(G=G, dx=dx, dy=dy, skip=skip, op=op, ca=ca, cb=cb, cc=cc)
+    return alpha, dict(G=G, skip=skip, op=op, ca=ca, cb=cb, cc=cc)
+
+
+def _split3(x):
+    """One-sided Dekker split along sublanes: [R, L] f32 -> [3R, L] bf16 with
+    x = hi + mid + lo exactly (each term bf16; residuals formed in f32)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, mid, lo], axis=0)
 
 
 def _triu(chunk, strict):
@@ -242,7 +273,11 @@ def _bwd_kernel(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
     count = counts_ref[t]
     P = tile * tile
     n_chunks = pl.cdiv(count, chunk)
+    px0 = (tx * tile).astype(jnp.float32)
+    py0 = (ty * tile).astype(jnp.float32)
     px, py = _pixel_coords(tx, ty, tile, P)
+    basis = _pixel_basis(tile, P)
+    basisT3 = jnp.concatenate([basis.T] * 3, axis=1).astype(jnp.bfloat16)  # [6, 3P]
 
     gbar = gbar_ref[0]        # [P, C]
     total = total_ref[0]      # [P, 1]
@@ -321,23 +356,39 @@ def _bwd_kernel(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
             d_alpha = jnp.where(
                 contrib, p_prev * cdotg - (S + tfin * B) / (1.0 - alpha), 0.0
             )
-            G = aux["G"]
-            op = aux["op"]
-            dG = op * d_alpha                                        # dL/dG
-            d_op = jnp.sum(G * d_alpha, axis=0, keepdims=True)       # [1, CHUNK]
             d_colors = jax.lax.dot_general(                          # [C, CHUNK]
                 gbar, w, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-            gdx = G * aux["dx"]
-            gdy = G * aux["dy"]
-            d_mx = jnp.sum(dG * (-(gdx * aux["ca"] + gdy * aux["cb"])), axis=0, keepdims=True)
-            d_my = jnp.sum(dG * (-(gdy * aux["cc"] + gdx * aux["cb"])), axis=0, keepdims=True)
-            d_ca = jnp.sum(-0.5 * gdx * aux["dx"] * dG, axis=0, keepdims=True)
-            d_cb = jnp.sum(-(gdx * aux["dy"]) * dG, axis=0, keepdims=True)
-            d_cc = jnp.sum(-0.5 * gdy * aux["dy"] * dG, axis=0, keepdims=True)
+            # All five conic/mean gradients are linear recombinations of six pixel
+            # moments of u = dL/dG * G = op * d_alpha * G (saturation gradient
+            # intentionally UNMASKED, backward.cu:498-499): e.g.
+            # d_ca = -0.5 sum_p u dx^2 with dx = mx - px (tile-local basis; the
+            # shift cancels in dx). One basis^T @ u matmul contracting the pixel
+            # dim replaces five [P, CHUNK] elementwise chains + sublane reductions
+            # on the VPU. Recombination cancellation is benign: px in [0, tile) so
+            # dx ~ mx whenever |mx| is large.
+            u = aux["op"] * d_alpha * aux["G"]                       # [P, CHUNK]
+            mom = jax.lax.dot(basisT3, _split3(u),
+                              preferred_element_type=jnp.float32)    # [6, CHUNK]
+            M0, Mx, My = mom[0:1], mom[1:2], mom[2:3]
+            Mxx, Myy, Mxy = mom[3:4], mom[4:5], mom[5:6]
+            mx = rows[0:1, :] - px0
+            my = rows[1:2, :] - py0
+            ca, cb, cc = aux["ca"], aux["cb"], aux["cc"]
+            Sx = mx * M0 - Mx                                        # sum u*dx
+            Sy = my * M0 - My                                        # sum u*dy
+            Sxx = mx * mx * M0 - 2.0 * mx * Mx + Mxx                 # sum u*dx^2
+            Syy = my * my * M0 - 2.0 * my * My + Myy
+            Sxy = mx * my * M0 - mx * My - my * Mx + Mxy
+            d_mx = -(ca * Sx + cb * Sy)
+            d_my = -(cc * Sy + cb * Sx)
+            d_ca = -0.5 * Sxx
+            d_cb = -Sxy
+            d_cc = -0.5 * Syy
+            d_op = M0 / jnp.maximum(aux["op"], 1e-30)                # sum G*d_alpha
 
             out_scratch[slot, 0:1] = d_mx
             out_scratch[slot, 1:2] = d_my
