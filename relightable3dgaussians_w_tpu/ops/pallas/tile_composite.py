@@ -114,19 +114,22 @@ def _contract_lanes(a, b):
 
 def _dot_exact_rhs(x, U):
     """x @ U where U is EXACTLY representable in bf16 (the 0/1 triangular masks):
-    one-sided Dekker split of x into hi/mid/lo bf16 terms — every product on the MXU
-    is exact, so the result matches f32 to ~2^-26 relative at 3 MXU passes instead of
-    precision=HIGHEST's 6 (same trick as ops/pallas/segment_sum.py). These triangular
-    prefix matmuls are the kernel's dominant MXU cost (~3.5 TFLOP/iter at 1M
-    Gaussians/800^2 in 6-pass mode)."""
+    one-sided Dekker split of x into hi/mid bf16 terms — every product on the MXU is
+    exact, so the result carries ~16 mantissa bits (rel ~2^-16) at 2 MXU passes
+    instead of precision=HIGHEST's 6 (same trick as ops/pallas/segment_sum.py, which
+    keeps 3 terms). These triangular prefix matmuls are the kernel's dominant MXU
+    cost. 2 passes suffice HERE because both prefix consumers tolerate ~1e-4
+    absolute fuzz: exp(excl) only matters while excl >= log(1e-4) (|excl| <= 9.2, so
+    abs err <= 9.2*2^-16 ~ 1.4e-4 -> w rel err ~1e-4), and a flip of the
+    include/termination predicate at the T ~ 1e-4 boundary changes a contribution
+    bounded by alpha*1e-4 — unlike the power > 0 predicate (see _chunk_alpha), this
+    discontinuity's height is the threshold itself."""
     hi = x.astype(jnp.bfloat16)
-    r1 = x - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    mid = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     p = x.shape[0]
-    out = jax.lax.dot(jnp.concatenate([hi, mid, lo], axis=0), U.astype(jnp.bfloat16),
+    out = jax.lax.dot(jnp.concatenate([hi, mid], axis=0), U.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
-    return out[:p] + out[p:2 * p] + out[2 * p:]
+    return out[:p] + out[p:]
 
 
 def _prefix_exact(x, strict):
