@@ -33,7 +33,9 @@ def main(n=500_000, res=800, iters=10):
     pts = np.stack([rng.uniform(-2.5, 2.5, n), rng.uniform(-2.5, 2.5, n),
                     rng.uniform(1.0, 10.0, n)], -1).astype(np.float32)
     capacity = ((n + 4095) // 4096) * 4096
-    params_g, gstate = G.init_from_points(pts, np.full(n, 0.006, np.float32), capacity)
+    # knn_dist2 sized so world-space scales match bench.py's realistic tile coverage
+    # (~2-6 tiles/Gaussian): scale = sqrt(knn_dist2) ~ 0.007.
+    params_g, gstate = G.init_from_points(pts, np.full(n, 5e-5, np.float32), capacity)
 
     # Entry budget sized like bench.py: measure actual duplicates + 5% headroom.
     from relightable3dgaussians_w_tpu.ops.preprocess import preprocess

@@ -32,6 +32,27 @@ def test_pallas_forward_matches_jnp(seed):
     assert (aerr > 1e-3).mean() < 1e-3
 
 
+def test_prefix_exact_error_bound():
+    """The 2-pass Dekker triangular prefix must stay within ~2^-16 relative of f64
+    over the value range the compositor feeds it (log1m in [-4.7, 0], wc spanning
+    gradient scales) — the bound the include/termination analysis relies on
+    (ops/pallas/tile_composite.py _dot_exact_rhs)."""
+    from relightable3dgaussians_w_tpu.ops.pallas.tile_composite import _prefix_exact
+
+    rng = np.random.RandomState(0)
+    for scale, chunk in [(4.7, 256), (1e-2, 256), (37.0, 512), (4.7, 128)]:
+        x = jnp.asarray(-rng.uniform(0, scale, (64, chunk)).astype(np.float32))
+        for strict in (True, False):
+            got = np.asarray(_prefix_exact(x, strict)).astype(np.float64)
+            xs = np.asarray(x).astype(np.float64)
+            ref = np.cumsum(xs, axis=1)
+            if strict:
+                ref = ref - xs
+            denom = np.maximum(np.abs(ref), scale)  # absolute floor at the term scale
+            rel = (np.abs(got - ref) / denom).max()
+            assert rel < 2.0 ** -15, (scale, chunk, strict, rel)
+
+
 def test_pallas_backward_matches_jnp():
     arrs, cam, cfg, host = make_scene(n=200, seed=2)
     cfg_j, cfg_p = _cfgs(cfg)
