@@ -16,7 +16,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..ops.texture import bilinear_sample
-from ..utils.sh import eval_sh, gauss_kernel, gamma_correction
+from ..utils.sh import eval_sh, gauss_kernel, gamma_correction, sh_basis
 from .brdf_lut import get_fg_lut
 
 # Ramamoorthi–Hanrahan irradiance constants (light.py:36-40).
@@ -121,8 +121,12 @@ def shade(base: jnp.ndarray, sh_degree: int, positions: jnp.ndarray,
     fg_uv = jnp.concatenate([ndotv, kr], axis=-1)
     fg = bilinear_sample(lut, fg_uv)  # [N, 2]
 
-    spec_sh = specular_light_sh(base, kr, sh_degree)  # [N, K, 3]
-    spec_irr = eval_sh(sh_degree, jnp.swapaxes(spec_sh, 1, 2), reflvec)  # [N, 3]
+    # Fused form of eval_sh(specular_light_sh(base, kr), reflvec): the per-Gaussian
+    # convolved coefficients [N, K, 3] are never materialized — the per-band
+    # Gauss-Weierstrass attenuation folds into the basis row and one [N, K] @ [K, 3]
+    # matmul contracts against the shared env SH.
+    k = sh_basis(sh_degree, reflvec) * gauss_kernel(kr, sh_degree)  # [N, K]
+    spec_irr = k @ base[: k.shape[-1]]                              # [N, 3]
     spec_irr = jnp.maximum(spec_irr, 1e-4)
 
     if km is None:
