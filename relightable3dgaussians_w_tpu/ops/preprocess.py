@@ -189,7 +189,15 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
         # 1.0001 factor + 0.5 px absorb f32 rounding in the compositor's power chain
         # (the analytic margin at the tile boundary is ~1e-3 in power units, ~1e4 x
         # any accumulated ulp error); op < 1/255 can never contribute anywhere.
+        # The culling chain is derivative-dead (every consumer passes through
+        # floor/int), but severing the autodiff connection explicitly matters: with
+        # opacity = sigmoid(param) feeding this chain, XLA compiles the composed
+        # backward ~35-65% slower (measured 87 -> 155 ms at 500k/800^2 on v5e;
+        # scripts/profile_seams.py) — the dead jvp/transpose chains through
+        # tau/bx/by change fusion decisions. stop_gradient restores the fast
+        # compile with bitwise-identical culling and zero gradient change.
         op = opacities[:, 0] if opacities.ndim == 2 else opacities
+        op = jax.lax.stop_gradient(op)
         tau = jnp.sqrt(jnp.maximum(2.0 * jnp.log(255.0 * jnp.maximum(op, 1e-12)), 0.0))
         bx = tau * jnp.sqrt(jnp.maximum(cxx, 0.0)) * 1.0001 + 0.5
         by = tau * jnp.sqrt(jnp.maximum(cyy, 0.0)) * 1.0001 + 0.5

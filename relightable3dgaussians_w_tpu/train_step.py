@@ -21,7 +21,7 @@ from .config import Config
 from .models import gaussians as G
 from .models.nets import MLPNet
 from .ops.rasterize import RasterizerConfig, CameraMatrices
-from .renderer import render
+from .renderer import render, render_inputs, render_from_inputs, RenderInputs
 from .utils import losses as LO
 from .utils.general import expon_lr
 
@@ -75,27 +75,41 @@ def make_optimizer():
     return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15)
 
 
-def forward_loss(params, gauss_state: G.GaussianState, mean2d_probe, mlp: MLPNet,
-                 cam: CameraMatrices, gt_image, sky_mask, occluders_mask, cam_uid,
-                 key, step, cfg: Config, rcfg: RasterizerConfig, bg_color):
-    """Loss stack of train.py:78-113. Returns (loss, aux dict)."""
-    o = cfg.optimizer
-    k_noise, k_drop, k_envl = jax.random.split(key, 3)
+def make_leaf_inputs(params, gauss_state: G.GaussianState, mlp: MLPNet,
+                     cam: CameraMatrices, cam_uid, key, cfg: Config):
+    """Stage A of the training step: params -> rasterizer leaf inputs.
 
+    Embedding lookup, MLP (with dropout), envlight noise, activations, and
+    Cook-Torrance shading. Deterministic given `key` (the split step re-runs it
+    inside the VJP stage with the same key). Returns (RenderInputs, envlight_sh)
+    where envlight_sh is the UN-noised MLP output (the R+ loss operates on it,
+    train.py:99-102)."""
+    k_noise, k_drop, _ = jax.random.split(key, 3)
     e = params["embeddings"][cam_uid][None]  # [1, D]
     envlight_sh, sky_sh = mlp.apply({"params": params["mlp"]}, e, deterministic=False,
                                     rngs={"dropout": k_drop})
     envlight_sh = envlight_sh[0]             # [(deg+1)^2, 3]
     noise = jax.random.normal(k_noise, envlight_sh.shape) * 0.025
-
-    out = render(
-        params["gaussians"], gauss_state, envlight_sh + noise, sky_sh,
-        cam, rcfg, bg_color, sky_mask,
+    inp = render_inputs(
+        params["gaussians"], gauss_state, envlight_sh + noise, sky_sh, cam,
         envlight_sh_degree=cfg.model.envlight_sh_degree,
         sky_sh_degree=cfg.model.sky_sh_degree,
         specular=cfg.model.specular, fix_sky=cfg.model.fix_sky, debug=False,
-        mean2d_probe=mean2d_probe,
     )
+    return inp, envlight_sh
+
+
+def core_loss(inp: RenderInputs, envlight_sh, gauss_state: G.GaussianState,
+              mean2d_probe, cam: CameraMatrices, gt_image, sky_mask,
+              occluders_mask, key, step, cfg: Config, rcfg: RasterizerConfig,
+              bg_color):
+    """Stage B: rasterize the leaf inputs and evaluate the loss stack
+    (train.py:78-113). Returns (loss, aux dict)."""
+    o = cfg.optimizer
+    _, _, k_envl = jax.random.split(key, 3)
+
+    out = render_from_inputs(inp, gauss_state, cam, rcfg, bg_color, sky_mask,
+                             debug=False, mean2d_probe=mean2d_probe)
 
     # Losses operate in the reference's [C, H, W] layout.
     chw = lambda x: jnp.moveaxis(x, -1, 0)
@@ -129,10 +143,11 @@ def forward_loss(params, gauss_state: G.GaussianState, mean2d_probe, mlp: MLPNet
     if o.lambda_envlight > 0:
         loss = loss + LO.envl_sh_loss(k_envl, envlight_sh, cfg.model.envlight_sh_degree)
 
-    # Planar prior (train.py:105-107).
+    # Planar prior (train.py:105-107). inp.scales == get_scaling(params), so the
+    # gradient chains through the same exp in the input-VJP stage.
     if o.lambda_scale > 0:
         loss = loss + o.lambda_scale * LO.min_scale_loss(
-            G.get_scaling(params["gaussians"]), out.radii, gauss_state.is_sky
+            inp.scales, out.radii, gauss_state.is_sky
         )
 
     # Sky/foreground Gaussian depth separation (train.py:110-113).
@@ -148,6 +163,16 @@ def forward_loss(params, gauss_state: G.GaussianState, mean2d_probe, mlp: MLPNet
     return loss, aux
 
 
+def forward_loss(params, gauss_state: G.GaussianState, mean2d_probe, mlp: MLPNet,
+                 cam: CameraMatrices, gt_image, sky_mask, occluders_mask, cam_uid,
+                 key, step, cfg: Config, rcfg: RasterizerConfig, bg_color):
+    """Fused loss stack (stage A + stage B in one graph). Returns (loss, aux)."""
+    inp, envlight_sh = make_leaf_inputs(params, gauss_state, mlp, cam, cam_uid,
+                                        key, cfg)
+    return core_loss(inp, envlight_sh, gauss_state, mean2d_probe, cam, gt_image,
+                     sky_mask, occluders_mask, key, step, cfg, rcfg, bg_color)
+
+
 class TrainFns(NamedTuple):
     train_step: Any
     densify_step: Any
@@ -155,20 +180,19 @@ class TrainFns(NamedTuple):
     reset_opacity_step: Any
 
 
-def make_train_fns(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig) -> TrainFns:
-    """Build the jitted step functions for a fixed (mlp, config, raster-config)."""
+def make_train_fns(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig,
+                   split_dispatch: bool = False) -> TrainFns:
+    """Build the jitted step functions for a fixed (mlp, config, raster-config).
 
-    def _train_step(state: TrainState, cam: CameraMatrices, gt_image, sky_mask,
-                    occluders_mask, cam_uid, key, bg_color):
-        n = state.gauss_state.alive.shape[0]
-        probe = jnp.zeros((n, 2))
+    split_dispatch=True runs the step as THREE dispatches (leaf inputs; rasterize +
+    losses + grads wrt leaves; input-chain VJP + Adam) instead of one fused
+    program. Gradients are identical (the input stage is recomputed in the VJP
+    stage with the same key); on v5e the fused program compiles to a ~2x slower
+    schedule whenever the rasterizer's inputs are parameter expressions rather
+    than program parameters (scripts/profile_seams.py — HLOs near-identical, cost
+    isn't; root cause in XLA's scheduling, not in op counts)."""
 
-        (loss, aux), grads = jax.value_and_grad(forward_loss, argnums=(0, 2), has_aux=True)(
-            state.params, state.gauss_state, probe, mlp, cam, gt_image, sky_mask,
-            occluders_mask, cam_uid, key, state.step, cfg, rcfg, bg_color,
-        )
-        param_grads, probe_grad = grads
-
+    def _apply_update(state: TrainState, param_grads, probe_grad, loss, aux):
         adam = make_optimizer()
         updates, new_opt_state = adam.update(param_grads, state.opt_state, state.params)
         lrs = make_lr_tree(state.params, state.step, cfg.optimizer)
@@ -188,6 +212,59 @@ def make_train_fns(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig) -> TrainFns
             num_alive=G.num_alive(new_gstate),
         )
         return new_state, step_aux
+
+    def _train_step(state: TrainState, cam: CameraMatrices, gt_image, sky_mask,
+                    occluders_mask, cam_uid, key, bg_color):
+        n = state.gauss_state.alive.shape[0]
+        probe = jnp.zeros((n, 2))
+
+        (loss, aux), grads = jax.value_and_grad(forward_loss, argnums=(0, 2), has_aux=True)(
+            state.params, state.gauss_state, probe, mlp, cam, gt_image, sky_mask,
+            occluders_mask, cam_uid, key, state.step, cfg, rcfg, bg_color,
+        )
+        param_grads, probe_grad = grads
+        return _apply_update(state, param_grads, probe_grad, loss, aux)
+
+    # ---------------------------------------------------- split-dispatch stages
+
+    def _stage_a(params, gauss_state, cam, cam_uid, key):
+        return make_leaf_inputs(params, gauss_state, mlp, cam, cam_uid, key, cfg)
+
+    def _stage_b(inp, envlight_sh, gauss_state, cam, gt_image, sky_mask,
+                 occluders_mask, key, step, bg_color):
+        n = gauss_state.alive.shape[0]
+        probe = jnp.zeros((n, 2))
+
+        def f(inp, envlight_sh, probe):
+            return core_loss(inp, envlight_sh, gauss_state, probe, cam, gt_image,
+                             sky_mask, occluders_mask, key, step, cfg, rcfg,
+                             bg_color)
+
+        (loss, aux), grads = jax.value_and_grad(
+            f, argnums=(0, 1, 2), has_aux=True)(inp, envlight_sh, probe)
+        return loss, aux, grads
+
+    def _stage_c(state: TrainState, cam, cam_uid, key, d_inp, d_envl, probe_grad,
+                 loss, aux):
+        def inputs_fn(params):
+            return make_leaf_inputs(params, state.gauss_state, mlp, cam, cam_uid,
+                                    key, cfg)
+
+        _, vjp = jax.vjp(inputs_fn, state.params)
+        (param_grads,) = vjp((d_inp, d_envl))
+        return _apply_update(state, param_grads, probe_grad, loss, aux)
+
+    jit_a = jax.jit(_stage_a)
+    jit_b = jax.jit(_stage_b)
+    jit_c = jax.jit(_stage_c)
+
+    def _train_step_split(state: TrainState, cam: CameraMatrices, gt_image,
+                          sky_mask, occluders_mask, cam_uid, key, bg_color):
+        inp, envl = jit_a(state.params, state.gauss_state, cam, cam_uid, key)
+        loss, aux, (d_inp, d_envl, probe_grad) = jit_b(
+            inp, envl, state.gauss_state, cam, gt_image, sky_mask,
+            occluders_mask, key, state.step, bg_color)
+        return jit_c(state, cam, cam_uid, key, d_inp, d_envl, probe_grad, loss, aux)
 
     def _densify(state: TrainState, key, grad_threshold, extent, max_screen_size):
         adam_state = state.opt_state
@@ -217,7 +294,7 @@ def make_train_fns(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig) -> TrainFns
                           new_opt, state.step)
 
     return TrainFns(
-        train_step=jax.jit(_train_step),
+        train_step=_train_step_split if split_dispatch else jax.jit(_train_step),
         densify_step=jax.jit(partial(_densify, max_screen_size=None)),
         densify_step_sized=jax.jit(partial(_densify, max_screen_size=20)),
         reset_opacity_step=jax.jit(_reset_opacity),

@@ -131,7 +131,8 @@ class Relightable3DGWTrainer:
             tile_chunk=cfg.runtime.tile_chunk,
             use_pallas=cfg.runtime.use_pallas and jax.default_backend() == "tpu",
         )
-        self.fns = make_train_fns(self.mlp, cfg, self.rcfg)
+        self.fns = make_train_fns(self.mlp, cfg, self.rcfg,
+                                  split_dispatch=cfg.runtime.split_dispatch)
         self.bg_color = jnp.asarray(
             [1.0, 1.0, 1.0] if cfg.dataset.white_background else [0.0, 0.0, 0.0]
         )

@@ -57,7 +57,9 @@ def main(n=500_000, res=800, iters=10):
     params = {"gaussians": params_g, "mlp": init_mlp(k, mlp),
               "embeddings": init_embeddings(jax.random.fold_in(k, 1), 8)}
     state = TrainState(params, gstate, make_optimizer().init(params), jnp.asarray(0))
-    fns = make_train_fns(mlp, cfg, rcfg)
+    split = os.environ.get("TRAIN_SPLIT", "1") == "1"
+    print(f"split_dispatch={split}")
+    fns = make_train_fns(mlp, cfg, rcfg, split_dispatch=split)
 
     gt = jnp.asarray(rng.uniform(0, 1, (res, res, 3)), jnp.float32)
     sky_mask = jnp.asarray((rng.uniform(size=(res, res)) > 0.3), jnp.float32)

@@ -87,6 +87,23 @@ def main(n=500_000, res=800):
 
         lowered = jax.jit(jax.grad(f, argnums=(0, 1, 2, 3, 4))).lower(
             xyz, scales, quats, opac, colors13)
+    elif target == "rast_o":
+        # Leaves except opacity activated inside — isolates the +67ms anomaly.
+        from relightable3dgaussians_w_tpu.ops.rasterize import rasterize
+
+        xyz = G.get_xyz(params_g, gstate)
+        scales = G.get_scaling(params_g)
+        quats = G.get_rotation(params_g)
+        colors13 = jnp.zeros((capacity, 13))
+        bg13 = jnp.zeros(13)
+
+        def f(pg, x, s, q, c):
+            o = G.get_opacity(pg, gstate)
+            img, aux = rasterize(x, s, q, o, c, bg13, cam, rcfg, active=gstate.alive)
+            return jnp.sum(img)
+
+        lowered = jax.jit(jax.grad(f, argnums=(0, 1, 2, 3, 4))).lower(
+            params_g, xyz, scales, quats, colors13)
     else:  # colors
         from relightable3dgaussians_w_tpu.renderer import compute_colors
 
@@ -99,6 +116,10 @@ def main(n=500_000, res=800):
     compiled = lowered.compile()
     txt = compiled.as_text()
     print(f"HLO text: {len(txt) / 1e6:.1f} MB, lines {txt.count(chr(10))}")
+    dump = os.environ.get("HLO_DUMP")
+    if dump:
+        with open(dump, "w") as fh:
+            fh.write(txt)
 
     by_op = defaultdict(lambda: [0, 0])
     lines = []
