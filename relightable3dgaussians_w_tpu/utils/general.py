@@ -55,8 +55,15 @@ def get_minimum_axis(scales: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
     Returns:
         [N, 3]
     """
-    idx = jnp.argmin(scales, axis=-1)  # [N]
-    return jnp.take_along_axis(R, idx[:, None, None].repeat(3, axis=1), axis=2)[..., 0]
+    # Two where-selects instead of take_along_axis: a per-element gather at pool
+    # scale costs ~20 ms on v5e (scripts/profile_shading.py), the selects ~0.1 ms.
+    # Tie-breaking matches argmin (first minimum wins): <= keeps the earlier axis.
+    s0, s1, s2 = scales[..., 0:1], scales[..., 1:2], scales[..., 2:3]
+    c0, c1, c2 = R[..., 0], R[..., 1], R[..., 2]  # columns = principal axes [N, 3]
+    first01 = s0 <= s1
+    ax01 = jnp.where(first01, c0, c1)
+    s01 = jnp.where(first01, s0, s1)
+    return jnp.where(s01 <= s2, ax01, c2)
 
 
 def flip_align_view(normal: jnp.ndarray, viewdir: jnp.ndarray):

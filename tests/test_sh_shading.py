@@ -138,6 +138,42 @@ def test_bilinear_sample_matches_numpy():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_bilinear_sample_packed_matches_unpacked():
+    """One-gather quad sampler == 4-gather sampler, including the clamped borders
+    (uv outside [0,1] and the sub-texel-0 left/top edge)."""
+    from relightable3dgaussians_w_tpu.ops.texture import (
+        bilinear_sample_packed, pack_bilinear_quads)
+
+    rng = np.random.RandomState(1)
+    tex = rng.uniform(size=(64, 32, 3)).astype(np.float32)
+    uv = np.concatenate([
+        rng.uniform(-0.2, 1.2, size=(200, 2)),                   # incl. out of range
+        np.array([[0.0, 0.0], [1.0, 1.0], [0.004, 0.5], [0.5, 0.004]]),
+    ]).astype(np.float32)
+    quad = pack_bilinear_quads(tex)
+    a = np.asarray(bilinear_sample(jnp.asarray(tex), jnp.asarray(uv)))
+    b = np.asarray(bilinear_sample_packed(jnp.asarray(quad), jnp.asarray(uv)))
+    # Same taps and combine; XLA may form fmas differently across the two
+    # programs, so allow 1-ulp noise.
+    np.testing.assert_allclose(a, b, rtol=3e-7, atol=3e-7)
+
+
+def test_minimum_axis_matches_gather():
+    """Where-select formulation == take_along_axis(argmin), incl. exact ties."""
+    from relightable3dgaussians_w_tpu.utils.general import get_minimum_axis
+
+    rng = np.random.RandomState(2)
+    scales = rng.uniform(0.1, 2.0, size=(64, 3)).astype(np.float32)
+    scales[10] = [0.5, 0.5, 1.0]   # tie 0-1
+    scales[11] = [1.0, 0.5, 0.5]   # tie 1-2
+    scales[12] = [0.5, 0.5, 0.5]   # tie all
+    R = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    got = np.asarray(get_minimum_axis(jnp.asarray(scales), jnp.asarray(R)))
+    idx = np.argmin(scales, axis=-1)
+    ref = R[np.arange(64), :, idx]
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_shade_shapes_and_paths():
     rng = np.random.RandomState(0)
     n = 64
