@@ -88,7 +88,14 @@ def main(iters=1500, res=128, n_views=8):
     n0 = 2000
     pts0 = np.stack([rng.uniform(-1.5, 1.5, n0), rng.uniform(-1.5, 1.5, n0),
                      rng.uniform(2.0, 6.0, n0)], -1).astype(np.float32)
-    params_g, gstate = G.init_from_points(pts0, np.full(n0, 0.01, np.float32), 32768)
+    # Init scale matters: the reference-faithful planar prior (lambda_scale=100 x
+    # mean min scale, train.py:105-107) dominates the early loss when splats start
+    # large — at knn_dist2=0.01 (scale 0.1) it contributes ~10 vs rec ~0.4 and the
+    # first ~300 iters flatten splats before the image term wins (PSNR dips then
+    # recovers). Diagnosed 2026-08-19: pure-L1 overfit +21 dB/300 iters and
+    # lambda_scale=0 +3.3 dB/300 iters on this scene — the framework gradients are
+    # healthy; this is the reference's own regularizer balance.
+    params_g, gstate = G.init_from_points(pts0, np.full(n0, 4e-4, np.float32), 32768)
     mlp = MLPNet()
     k = jax.random.PRNGKey(0)
     params = {"gaussians": params_g, "mlp": init_mlp(k, mlp),

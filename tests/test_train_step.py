@@ -77,6 +77,41 @@ def test_train_steps_reduce_loss():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_train_improves_psnr_image_dominant():
+    """With the regularizers off, a few Adam steps must IMPROVE the rendered-image
+    PSNR against a fixed target — 'loss decreases' alone can be satisfied by
+    regularizer descent while the image degrades (the planar prior dominates early
+    training when splats start large; see scripts/selfcheck_train.py)."""
+    tstate, _, cam, gt, sky, occ, cfg = build_setup()
+    from relightable3dgaussians_w_tpu.ops.rasterize import RasterizerConfig
+    from relightable3dgaussians_w_tpu.models.nets import MLPNet
+
+    o = cfg.optimizer
+    o.lambda_dssim = 0.0
+    o.lambda_sky_brdf = 0.0
+    o.lambda_normal = 0.0
+    o.lambda_envlight = 0.0
+    o.lambda_scale = 0.0
+    o.lambda_sky_gauss = 0.0
+    mlp = MLPNet(sh_degree_envl=cfg.model.envlight_sh_degree,
+                 sh_degree_sky=cfg.model.sky_sh_degree)
+    rcfg = RasterizerConfig(width=64, height=64, max_dup=1 << 14,
+                            max_tiles_per_gauss=32, lmax_per_tile=256, tile_chunk=4)
+    fns = make_train_fns(mlp, cfg, rcfg)
+
+    key = jax.random.PRNGKey(3)
+    bg = jnp.zeros(3)
+    first = None
+    last = None
+    for i in range(25):
+        key, k = jax.random.split(key)
+        tstate, aux = fns.train_step(tstate, cam, gt, sky, occ, jnp.asarray(0), k, bg)
+        if first is None:
+            first = float(aux.psnr)
+        last = float(aux.psnr)
+    assert last > first + 0.3, (first, last)
+
+
 def test_split_dispatch_matches_fused():
     """The 3-dispatch step (train_step.py make_train_fns split_dispatch=True) must
     produce the SAME updated parameters and aux as the fused single-program step —
