@@ -100,13 +100,21 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     pix_s = W * H / dt
+
+    parity = None
+    if os.environ.get("BENCH_PARITY", "0") == "1":
+        from scripts.tpu_parity import run as parity_run
+
+        parity = parity_run(quiet=True)
+
     print(json.dumps({
         "metric": f"splat_fwd_bwd_pixels_per_s_{n}g_{W}x{H}",
         "value": pix_s,
         "unit": "pixels/s/chip",
         "vs_baseline": pix_s / NOMINAL_BASELINE_PIX_S,
         "extra": {"ms_per_iter": dt * 1e3, "overflow_entries": overflow,
-                  "backend": jax.devices()[0].platform, "pallas": cfg.use_pallas},
+                  "backend": jax.devices()[0].platform, "pallas": cfg.use_pallas,
+                  **({"parity": parity} if parity is not None else {})},
     }))
 
 
