@@ -109,10 +109,24 @@ def eval_view_with_gt_envmap(params, gauss_state, cfg: Config, rcfg: RasterizerC
                              view, envmap_img: np.ndarray, eval_mask: np.ndarray,
                              init_rot=(0.0, 0.0, 0.0), sun_angle_range=(0.0, 2 * np.pi),
                              n_angles: int = 51, threshold: float = 0.999,
-                             scale: float = 10.0, bg=None) -> RelightResult:
+                             scale: float = 10.0, bg=None,
+                             angle_batch: int = 17) -> RelightResult:
     """Relight one test view with its GT envmap: project to SH deg 4, apply the
     initial rotation, sweep `n_angles` sun rotations about y, keep the best masked
-    PSNR (eval_with_gt_envmaps.py:51-136). fix_sky=True (white sky)."""
+    PSNR (eval_with_gt_envmaps.py:51-136). fix_sky=True (white sky).
+
+    The sweep is BATCHED: `angle_batch` rotations ride ONE rasterizer pass as 3*B
+    fused color channels — the tile geometry, binning, and per-pixel alpha work
+    are identical across sun angles (only the per-Gaussian shading differs), so the
+    compositor shares them the same way it fuses AOV channels (SURVEY.md §7). The
+    reference dispatches 51 independent full renders (eval_with_gt_envmaps.py
+    :306-327); this runs ceil(51/17)=3 fused pipelines + one final render, ~12x
+    less device work per view."""
+    from functools import partial
+
+    from .models import light as L
+    from .utils.sh import eval_sh  # noqa: F401  (parity w/ compute_colors imports)
+
     img = EM.saturate_envmap(envmap_img, threshold, scale)
     coeffs = EM.project_envmap_to_sh(img, cfg.model.envlight_sh_degree)
     rz, ry, rx = init_rot[2], init_rot[1], init_rot[0]
@@ -125,26 +139,58 @@ def eval_view_with_gt_envmap(params, gauss_state, cfg: Config, rcfg: RasterizerC
     sky = jnp.asarray(view["sky_mask"])
     mask = jnp.asarray(eval_mask)
 
-    @jax.jit
-    def render_psnr(base):
-        out = render(params["gaussians"], gauss_state, base, sky_sh, cam, rcfg, bg,
-                     sky, envlight_sh_degree=cfg.model.envlight_sh_degree,
-                     sky_sh_degree=cfg.model.sky_sh_degree,
-                     specular=cfg.model.specular, fix_sky=True, debug=False)
-        im = jnp.clip(out.render, 0.0, 1.0)
-        chw = jnp.moveaxis(im, -1, 0)
-        gtc = jnp.moveaxis(gt, -1, 0)
-        return im, LO.mse2psnr(LO.img2mse(chw, gtc, mask=mask[None]))
+    @partial(jax.jit, static_argnames=("nb",))
+    def sweep_group(bases, nb):
+        """bases [nb, K, 3] -> masked PSNR [nb] (one fused rasterize)."""
+        from .ops.rasterize import rasterize
+
+        p = params["gaussians"]
+        xyz = G.get_xyz(p, gauss_state)
+        campos = cam.campos
+        dir_pp_n = L.safe_normalize(xyz - campos[None, :])
+        normal = G.get_normal(p, dir_pp_n)
+        albedo, kr, km = G.get_albedo(p), G.get_roughness(p), G.get_metalness(p)
+
+        def shade_one(base):
+            shaded = L.shade(base, cfg.model.envlight_sh_degree, xyz, normal,
+                             albedo, campos, kr, km, specular=cfg.model.specular)
+            return jnp.where(gauss_state.is_sky[:, None], 1.0, shaded.rgb)  # fix_sky
+
+        colors = jax.vmap(shade_one)(bases)                   # [nb, N, 3]
+        colors = jnp.moveaxis(colors, 0, 1).reshape(xyz.shape[0], nb * 3)
+        bgs = jnp.tile(bg, (nb,))
+        image, _ = rasterize(xyz, G.get_scaling(p), G.get_rotation(p),
+                             G.get_opacity(p, gauss_state), colors, bgs, cam, rcfg,
+                             active=gauss_state.alive)
+        ims = jnp.clip(image.reshape(image.shape[0], image.shape[1], nb, 3), 0, 1)
+        se = jnp.sum((ims - gt[:, :, None, :]) ** 2 * mask[:, :, None, None],
+                     axis=(0, 1, 3))
+        mse = se / (jnp.sum(mask) * 3 + 1e-10)
+        return LO.mse2psnr(mse)
 
     angles = np.linspace(sun_angle_range[0], sun_angle_range[1], n_angles)
-    best = (-np.inf, None, None)
-    for a in angles:
-        base = jnp.asarray(EM.rotate_sh(base0, pitch=float(a)))
-        im, p = render_psnr(base)
-        p = float(p)
-        if p > best[0]:
-            best = (p, float(a), np.asarray(im))
-    psnr, angle, image = best
+    bases = np.stack([EM.rotate_sh(base0, pitch=float(a)) for a in angles])
+    nb = min(angle_batch, n_angles)
+    psnrs = []
+    for i in range(0, n_angles, nb):
+        group = bases[i : i + nb]
+        if len(group) < nb:  # pad to keep ONE jit specialization
+            group = np.concatenate([group, np.repeat(group[-1:], nb - len(group), 0)])
+        psnrs.append(np.asarray(sweep_group(jnp.asarray(group), nb)))
+    psnrs = np.concatenate(psnrs)[:n_angles]
+    best_i = int(np.argmax(psnrs))
+    angle = float(angles[best_i])
+
+    # Final render at the winning angle (also yields the returned image).
+    out = render(params["gaussians"], gauss_state, jnp.asarray(bases[best_i]),
+                 sky_sh, cam, rcfg, bg, sky,
+                 envlight_sh_degree=cfg.model.envlight_sh_degree,
+                 sky_sh_degree=cfg.model.sky_sh_degree,
+                 specular=cfg.model.specular, fix_sky=True, debug=False)
+    image = np.asarray(jnp.clip(out.render, 0.0, 1.0))
+    chw_j = jnp.moveaxis(jnp.asarray(image), -1, 0)
+    gtc_j = jnp.moveaxis(gt, -1, 0)
+    psnr = float(LO.mse2psnr(LO.img2mse(chw_j, gtc_j, mask=mask[None])))
     chw = np.moveaxis(image, -1, 0)
     gtc = np.moveaxis(np.asarray(gt), -1, 0)
     m = np.asarray(mask)[None]

@@ -39,6 +39,72 @@ ALPHA_SAT = 0.99
 T_EPS = 1e-4
 
 
+# --------------------------------------------------------------- shared power math
+#
+# The Gaussian exponent ("power", forward.cu:336-341) is a quadratic in the pixel
+# coords, so it is SEPARABLE over a tile: power(px, py) = f(px) + g(py) + qxy*px*py
+# with per-entry 16-wide tables f, g and one cross term. Evaluating f/g costs
+# O(tile) per entry instead of O(tile^2) per pair; the per-PAIR work drops from ~11
+# VPU ops (dx/dy quadratic chain) to 2 table broadcasts + 2 adds + 1 fma — the
+# single largest term in the compositor's VPU roofline (BENCH_LOG.md r2).
+#
+# The skip predicate power > 0 is a DISCONTINUITY of height ~opacity, so kernel and
+# twin MUST compute power bit-for-bit identically: both call THESE functions with
+# the same scalar op order — everything is ELEMENTWISE f32 (+ pure data movement),
+# which Mosaic and XLA execute bitwise-identically. An MXU matmul form of the same
+# quadratic (power = pixel-basis @ coeffs with exact Dekker-split products) was
+# tried twice and is a dead end: Mosaic's and XLA's dot ACCUMULATION ORDERS differ,
+# so kernel-vs-twin disagreed at ~1e-6, flipping predicates (r1c lesson at
+# BENCH_LOG.md 13:1x, reconfirmed r2 on-TPU: image_max_abs 0.92 from one flipped
+# high-opacity contribution). Matmuls stay out of every predicate-feeding value.
+
+
+def tile_pixel_basis(tile: int):
+    """[P, 6] f32 pixel basis over tile-local coords, x fastest (exact integers)."""
+    pix = jax.lax.broadcasted_iota(jnp.int32, (tile * tile, 1), 0)
+    px = jnp.remainder(pix, tile).astype(jnp.float32)
+    py = (pix // tile).astype(jnp.float32)
+    one = jnp.ones((tile * tile, 1), jnp.float32)
+    return jnp.concatenate([one, px, py, px * px, py * py, px * py], axis=1)
+
+
+def entry_quad_coeffs(mxl, myl, ca, cb, cc):
+    """Per-entry coefficients of power over tile-local pixel coords.
+
+    power = -0.5*ca*(mxl-px)^2 - 0.5*cc*(myl-py)^2 - cb*(mxl-px)*(myl-py)
+          = q0 + qx*px + qy*py + qxx*px^2 + qyy*py^2 + qxy*px*py.
+    All element-wise — kernel ([1, CHUNK] rows) and twin ([L] vectors) get
+    bitwise-identical values per element.
+    """
+    q0 = -0.5 * (ca * (mxl * mxl) + cc * (myl * myl)) - cb * (mxl * myl)
+    qx = ca * mxl + cb * myl
+    qy = cc * myl + cb * mxl
+    return q0, qx, qy, -0.5 * ca, -0.5 * cc, -cb
+
+
+def power_separable(q, pv, pv2, pp, tile_f, rep_g):
+    """Shared arithmetic core of the separable power evaluation.
+
+    Args:
+        q: the 6 entry_quad_coeffs arrays, each broadcastable against pv.
+        pv, pv2: pixel coordinate values 0..tile-1 and their squares, laid out
+            along the PIXEL axis of the caller (kernel: [tile, 1] columns;
+            twin: [1, tile] rows). Exact small integers.
+        pp: px*py per FULL pixel (exact integers <= (tile-1)^2), caller layout.
+        tile_f / rep_g: pure data-movement closures expanding the 16-wide f / g
+            tables to the full P = tile^2 pixels (f indexed by px = p % tile,
+            g by py = p // tile). Copies only — no arithmetic, so any lowering
+            (tile/repeat/broadcast-reshape) keeps bitwise parity.
+
+    Every arithmetic op here is elementwise f32 in a fixed order — the ONLY safe
+    way to keep the Pallas kernel and the jnp twin predicate-consistent (module
+    comment above)."""
+    q0, qx, qy, qxx, qyy, qxy = q
+    f = q0 + qx * pv + qxx * pv2
+    g = qy * pv + qyy * pv2
+    return (tile_f(f) + rep_g(g)) + qxy * pp
+
+
 class CompositeConfig(NamedTuple):
     """Static compositing parameters (hashable; safe as a jit static arg)."""
     grid_x: int
@@ -77,9 +143,23 @@ def _tile_geometry(feat: jnp.ndarray, t, s, e, cfg: CompositeConfig):
     colors = rows[:, 6:]
 
     px, py = _tile_pixel_coords(t, cfg)
-    dx = mx[:, None] - px[None, :]                     # [L, P]
+    dx = mx[:, None] - px[None, :]                     # [L, P] (grads only)
     dy = my[:, None] - py[None, :]
-    power = -0.5 * (ca[:, None] * dx * dx + cc[:, None] * dy * dy) - cb[:, None] * dx * dy
+    # Power via the shared separable form (module helpers): tile-local mean,
+    # identical scalar op order to the Pallas kernel so skip predicates agree
+    # bitwise. Twin layout: entries on rows, pixels on columns.
+    tile = cfg.tile
+    tx0 = ((t % cfg.grid_x) * tile).astype(jnp.float32)
+    ty0 = ((t // cfg.grid_x) * tile).astype(jnp.float32)
+    q6 = entry_quad_coeffs((mx - tx0)[:, None], (my - ty0)[:, None],
+                           ca[:, None], cb[:, None], cc[:, None])    # [L, 1] each
+    pv = jnp.arange(tile, dtype=jnp.float32)[None, :]                # [1, tile]
+    pp = ((px - tx0) * (py - ty0))[None, :]                          # [1, P] exact ints
+    power = power_separable(
+        q6, pv, pv * pv, pp,
+        tile_f=lambda f: jnp.tile(f, (1, tile)),                     # col p -> f[p % tile]
+        rep_g=lambda g: jnp.repeat(g, tile, axis=1),                 # col p -> g[p // tile]
+    )                                                                # [L, P]
     G = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = jnp.minimum(ALPHA_SAT, op[:, None] * G)
     skip = (power > 0.0) | (alpha_raw < ALPHA_MIN) | (~valid[:, None])

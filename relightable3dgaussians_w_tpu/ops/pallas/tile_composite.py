@@ -37,50 +37,41 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..composite import ALPHA_MIN, ALPHA_SAT, T_EPS
+from ..composite import (ALPHA_MIN, ALPHA_SAT, T_EPS, tile_pixel_basis,
+                         entry_quad_coeffs, power_separable)
 
 NEG_LOG_EPS = -50.0  # exp(-50) ~ 2e-22: "zero" transmittance in log space
 
 
-def _pixel_basis(tile, P):
-    """Tile-LOCAL quadratic pixel basis [P, 6]: [1, px, py, px^2, py^2, px*py] with
-    px, py in [0, tile). All entries are integers <= (tile-1)^2 <= 225, EXACTLY
-    representable in bf16 — so basis matmuls need no Dekker split on this side, and
-    working tile-locally keeps moment recombinations at f32 accuracy (global pixel
-    coords would put ~6e5-magnitude px^2 terms against an O(10) result)."""
-    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    px = jnp.remainder(pix, tile).astype(jnp.float32)
-    py = (pix // tile).astype(jnp.float32)
-    one = jnp.ones((P, 1), jnp.float32)
-    return jnp.concatenate([one, px, py, px * px, py * py, px * py], axis=1)
-
-
-def _pixel_coords(tx, ty, tile, P):
-    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    px = (tx * tile).astype(jnp.float32) + jnp.remainder(pix, tile).astype(jnp.float32)
-    py = (ty * tile).astype(jnp.float32) + (pix // tile).astype(jnp.float32)
-    return px, py
-
-
-def _chunk_alpha(rows, valid_len, px, py, chunk):
+def _chunk_alpha(rows, valid_len, tile, px0, py0, chunk):
     """rows: [F, CHUNK]; returns alpha [P, CHUNK] and aux terms.
 
-    power is evaluated on the VPU with EXACTLY the jnp twin's operation order: the
-    reference's skip predicate power > 0 (forward.cu:343) is a discontinuity of
-    height ~opacity (a pixel AT a Gaussian center has power = 0 and alpha = op), so
-    any rounding difference flips whole contributions. An MXU bilinear-form power
-    (basis(p) . Q(e)) was measured ~2x cheaper per chunk but its ~1e-4 rounding
-    flipped ~1 pixel per 50M pixel-entry pairs against the twin — image error O(op)
-    at that pixel and garbage grads along its whole compositing chain."""
-    mx = rows[0:1, :]
-    my = rows[1:2, :]
+    power uses the shared SEPARABLE form (composite.py power_separable): 16-wide
+    per-entry f/g tables + one cross fma instead of the ~11-op dx/dy chain per
+    pixel-entry pair. The skip predicate power > 0 (forward.cu:343) is a
+    discontinuity of height ~opacity, so kernel and twin MUST agree bitwise —
+    both call the SAME elementwise helpers in the same order (MXU forms are
+    banned from predicate-feeding values: Mosaic/XLA dot accumulation orders
+    differ, see composite.py module comment)."""
+    mxl = rows[0:1, :] - px0
+    myl = rows[1:2, :] - py0
     ca = rows[2:3, :]
     cb = rows[3:4, :]
     cc = rows[4:5, :]
     op = rows[5:6, :]
-    dx = mx - px                      # [P, CHUNK]
-    dy = my - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    q6 = entry_quad_coeffs(mxl, myl, ca, cb, cc)        # [1, CHUNK] each
+    P = tile * tile
+    pv = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0).astype(jnp.float32)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    pp = (jnp.remainder(pix, tile) * (pix // tile)).astype(jnp.float32)
+    power = power_separable(
+        q6, pv, pv * pv, pp,
+        # row p -> f[p % tile] (px fastest): stack tile copies along sublanes.
+        tile_f=lambda f: jnp.tile(f, (tile, 1)),
+        # row p -> g[p // tile]: broadcast each row tile times, then flatten.
+        rep_g=lambda g: jnp.broadcast_to(g[:, None, :], (tile, tile, chunk))
+                           .reshape(P, chunk),
+    )                                                    # [P, CHUNK]
     G = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = jnp.minimum(ALPHA_SAT, op * G)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -166,7 +157,8 @@ def _fwd_kernel(starts_ref, counts_ref, feat_hbm, out_ref, tfin_ref,
     count = counts_ref[t]
     P = tile * tile
     n_chunks = pl.cdiv(count, chunk)
-    px, py = _pixel_coords(tx, ty, tile, P)
+    px0 = (tx * tile).astype(jnp.float32)
+    py0 = (ty * tile).astype(jnp.float32)
 
     def get_dma(slot, c_idx):
         return pltpu.make_async_copy(
@@ -186,7 +178,7 @@ def _fwd_kernel(starts_ref, counts_ref, feat_hbm, out_ref, tfin_ref,
         get_dma(slot, c_idx).wait()
         rows = scratch[slot]
         valid_len = count - c_idx * chunk
-        alpha, _ = _chunk_alpha(rows, valid_len, px, py, chunk)
+        alpha, _ = _chunk_alpha(rows, valid_len, tile, px0, py0, chunk)
         log1m = jnp.log(1.0 - alpha)
         log_praw_new = jnp.maximum(log_praw + jnp.sum(log1m, axis=1, keepdims=True),
                                    NEG_LOG_EPS)
@@ -278,8 +270,7 @@ def _bwd_kernel(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
     n_chunks = pl.cdiv(count, chunk)
     px0 = (tx * tile).astype(jnp.float32)
     py0 = (ty * tile).astype(jnp.float32)
-    px, py = _pixel_coords(tx, ty, tile, P)
-    basis = _pixel_basis(tile, P)
+    basis = tile_pixel_basis(tile)
     basisT3 = jnp.concatenate([basis.T] * 3, axis=1).astype(jnp.bfloat16)  # [6, 3P]
 
     gbar = gbar_ref[0]        # [P, C]
@@ -331,7 +322,7 @@ def _bwd_kernel(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
             log_praw = carry_vmem[0]
             q_carry = carry_vmem[1]
             valid_len = count - c_idx * chunk
-            alpha, aux = _chunk_alpha(rows, valid_len, px, py, chunk)
+            alpha, aux = _chunk_alpha(rows, valid_len, tile, px0, py0, chunk)
             log1m = jnp.log(1.0 - alpha)
             log_praw_new = jnp.maximum(
                 log_praw + jnp.sum(log1m, axis=1, keepdims=True), NEG_LOG_EPS)

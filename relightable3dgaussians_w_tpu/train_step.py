@@ -75,6 +75,32 @@ def make_optimizer():
     return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15)
 
 
+def grow_train_state(state: TrainState, new_capacity: int) -> TrainState:
+    """Host-side pool growth: pad the Gaussian params, pool state, AND the Adam
+    moments to `new_capacity` rows (zeros — exactly what fresh rows would carry).
+    The TPU-native analog of the reference's unbounded cat_tensors_to_optimizer
+    (gaussian_model.py:488-511): jit shapes change, so the next step re-compiles."""
+    params_g, gstate = G.grow(state.params["gaussians"], state.gauss_state,
+                              new_capacity)
+
+    def grow_moments(m):
+        g = m["gaussians"]
+        cap = g.xyz.shape[0]
+        pad = new_capacity - cap
+
+        def padp(a):
+            if getattr(a, "ndim", 0) == 0:
+                return a
+            return jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+
+        return dict(m, gaussians=G.GaussianParams(*[padp(a) for a in g]))
+
+    opt = state.opt_state._replace(mu=grow_moments(state.opt_state.mu),
+                                   nu=grow_moments(state.opt_state.nu))
+    return TrainState(dict(state.params, gaussians=params_g), gstate, opt, state.step)
+
+
 def make_leaf_inputs(params, gauss_state: G.GaussianState, mlp: MLPNet,
                      cam: CameraMatrices, cam_uid, key, cfg: Config):
     """Stage A of the training step: params -> rasterizer leaf inputs.
@@ -204,6 +230,21 @@ def make_train_fns(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig,
         ndc_grad = probe_grad * jnp.asarray([0.5 * rcfg.width, 0.5 * rcfg.height])
         new_gstate = G.add_densification_stats(state.gauss_state, ndc_grad,
                                                aux["visibility"], aux["radii"])
+
+        # Binning-budget overflow poisons the render (segment contents shift,
+        # ops/binning.py) and therefore every gradient: REJECT the whole update
+        # in-graph (params, Adam moments, densify stats all keep their old values)
+        # instead of silently applying a garbage step. The step counter still
+        # advances (lr schedule). The reference never hits this (it resizes its key
+        # buffer on device, rasterizer_impl.cu:280-285); the host trainer reacts to
+        # the overflow counter at log time by growing max_dup + re-jitting.
+        ok = aux["overflow"] == 0
+        sel = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b) if getattr(a, "ndim", None) is not None else a,
+            new, old)
+        new_params = sel(new_params, state.params)
+        new_opt_state = sel(new_opt_state, state.opt_state)
+        new_gstate = sel(new_gstate, state.gauss_state)
 
         new_state = TrainState(new_params, new_gstate, new_opt_state, state.step + 1)
         step_aux = StepAux(

@@ -34,7 +34,7 @@ from .models import gaussians as G
 from .models.nets import MLPNet, init_mlp, init_embeddings
 from .ops.knn import knn_dist2
 from .ops.rasterize import RasterizerConfig
-from .train_step import TrainState, make_train_fns, make_optimizer
+from .train_step import TrainState, make_train_fns, make_optimizer, grow_train_state
 from .utils.general import grad_thr_exp_scheduling, sample_points_on_unit_hemisphere
 from .utils.logging import ProfilerWindow, StepTimer, TrainLogger
 
@@ -186,6 +186,17 @@ class Relightable3DGWTrainer:
                 self.logger.scalars(it, rec)
                 print(f"[{it}] loss={loss:.5f} psnr={rec['psnr']:.2f} "
                       f"alive={rec['alive']} {rec['iters_per_s']:.2f} it/s")
+                # Binning-budget overflow: the step rejected its own update
+                # in-graph (train_step._apply_update); here the host heals the
+                # budget so subsequent steps land — grow max_dup and re-jit.
+                if rec["overflow"] > 0:
+                    new_dup = int(self.rcfg.max_dup * 1.5 + 4095) // 4096 * 4096
+                    print(f"[{it}] binning overflow ({rec['overflow']} entries "
+                          f"dropped, update REJECTED): max_dup "
+                          f"{self.rcfg.max_dup} -> {new_dup}, re-jitting")
+                    self.rcfg = self.rcfg._replace(max_dup=new_dup)
+                    self.fns = make_train_fns(self.mlp, cfg, self.rcfg,
+                                              split_dispatch=cfg.runtime.split_dispatch)
 
             if self.logger.tb is not None and it % (log_every * 10) == 0:
                 p = self.state.params["gaussians"]
@@ -209,8 +220,17 @@ class Relightable3DGWTrainer:
                     grad_threshold = grad_thr_exp_scheduling(
                         it, o.densify_until_iter, o.densify_grad_threshold)
                     if int(report.overflow) > 0:
-                        print(f"[{it}] WARNING pool overflow: {int(report.overflow)} "
-                              "selected Gaussians not allocated (raise pool_capacity)")
+                        # Grow the pool (params + pool state + Adam moments) so the
+                        # next densify round has room — the TPU analog of the
+                        # reference's unbounded growth (gaussian_model.py:488-511).
+                        # The missed selections re-trigger next round from fresh
+                        # stats; growth re-jits every step function.
+                        cap = self.state.gauss_state.alive.shape[0]
+                        new_cap = int(cap * 1.5)
+                        print(f"[{it}] pool overflow: {int(report.overflow)} selected "
+                              f"Gaussians not allocated; growing pool {cap} -> "
+                              f"{new_cap} (+re-jit)")
+                        self.state = grow_train_state(self.state, new_cap)
                 if it % o.opacity_reset_interval == 0 or it == o.densify_from_iter:
                     self.state = self.fns.reset_opacity_step(self.state)
 

@@ -22,16 +22,14 @@ def sort_experiments():
     timeit(f, key, *rows[:9], name="sort u32 key + 9 f32 payloads")
 
     def packed(k, *rs):
-        pairs = [jax.lax.bitcast_convert_type(jnp.stack([rs[2*i], rs[2*i+1]], -1),
-                                              jnp.uint64) for i in range(4)]
+        pairs = [jax.lax.complex(rs[2 * i], rs[2 * i + 1]) for i in range(4)]
         out = jax.lax.sort((k,) + tuple(pairs) + (rs[8],), num_keys=1)
         outs = []
         for p in out[1:5]:
-            ab = jax.lax.bitcast_convert_type(p, jnp.float32)
-            outs += [ab[:, 0], ab[:, 1]]
+            outs += [jnp.real(p), jnp.imag(p)]
         return out[0], outs, out[5]
     f2 = jax.jit(packed)
-    timeit(f2, key, *rows[:9], name="sort u32 key + 4 u64 + 1 f32 (pack+unpack)")
+    timeit(f2, key, *rows[:9], name="sort u32 key + 4 c64 + 1 f32 (pack+unpack)")
 
     f3 = jax.jit(lambda k, g: jax.lax.sort((k, g), num_keys=1))
     timeit(f3, key, rows[0], name="sort u32 key + 1 payload (2.45M)")
