@@ -34,6 +34,14 @@ def evaluate_dir(renders_dir: str, gt_dir: str, half: bool = False,
     renders = _read_dir(renders_dir)
     gts = _read_dir(gt_dir)
     lpips_fn = make_lpips_fn(lpips_weights)
+    if lpips_fn is None:
+        # Probed r2: no torchvision, no cached torch hub .pth, zero egress — the
+        # VGG16 weights npz cannot be produced in this environment. The metric
+        # implementation itself is complete (models/lpips.py); ship
+        # _lpips_vgg16.npz (convert_torch_weights, any networked machine) to
+        # enable it. Reference leg: metrics.py:180-189.
+        print("LPIPS skipped: weights unavailable "
+              "(models/_lpips_vgg16.npz missing; see models/lpips.py)")
     per_view = {}
     for name, im in renders.items():
         if name not in gts:

@@ -1,0 +1,175 @@
+"""Gauss-sharded rendering: pool rows sharded over `gauss`, binning exchanged by
+tile ownership via all-to-all — NOT by all-gathering the pool.
+
+This is the distributed analog of the reference's single-device binning
+(duplicateWithKeys + radix sort, cuda_rasterizer/rasterizer_impl.cu:303-336) for a
+pool that outgrows one chip's HBM (SURVEY.md §5.8). Design:
+
+* Tile OWNERSHIP: the tile grid is split into D horizontal bands of tile rows;
+  device d owns band d and composites its pixels.
+* Each device preprocesses only its own pool shard (embarrassingly parallel), then
+  for every destination band clamps the (opacity-tightened) tile rect to the band
+  and packs the contributing rows — per-Gaussian RECORDS (mean2d, conic, opacity,
+  colors, depth, global id, band-local rect), NOT per-entry keys, so a Gaussian
+  crosses the wire once per band it touches instead of once per tile.
+* ONE `jax.lax.all_to_all` over the `gauss` axis ships each bucket to its owner —
+  O(N/D * bands_touched) per link instead of the O(N) per chip that all-gathering
+  every per-Gaussian feature costs (the r1 fallback XLA inserted).
+* Each owner re-expands the received records into (tile, depth-rank) entries and
+  runs the standard single-device binning + compositing on its band. Received rows
+  are ordered [source shard, ascending local index] = ascending GLOBAL id, and the
+  depth sort is stable, so duplication and compositing order — and therefore the
+  image — are bitwise-identical to the single-device render.
+
+Static budgets: `rows_per_band` rows per (source, destination) pair; overflowing
+rows are dropped and counted (same loud-degradation contract as ops/binning.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.preprocess import preprocess, PreprocessOut
+from ..ops.rasterize import CameraMatrices, RasterizerConfig, rasterize
+
+
+def _band_records(pre, opacities, colors, gid0, e, band_gy, tile, cap, n_loc):
+    """Pack this shard's rows contributing to band `e` into a [cap, R] record
+    buffer. Record layout: [mean2d(2) conic(3) op(1) colors(C) depth(1) gid(1)
+    rx0(1) ry0(1) w(1) h(1)]; padding rows carry w = h = 0."""
+    y0 = e * band_gy
+    rmin_y = jnp.clip(pre.rect_min[:, 1] - y0, 0, band_gy)
+    rmax_y = jnp.clip(pre.rect_max[:, 1] - y0, 0, band_gy)
+    h = jnp.maximum(rmax_y - rmin_y, 0)
+    w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 0)
+    # Gate on the single-device tiles_touched: culled rows (tiles_touched == 0)
+    # can carry garbage rects that would otherwise resurrect here.
+    touched = jnp.where(pre.tiles_touched > 0, h * w, 0)
+    send_mask = touched > 0
+
+    idx = jnp.nonzero(send_mask, size=cap, fill_value=n_loc)[0]
+    valid = idx < n_loc
+    safe = jnp.clip(idx, 0, n_loc - 1)
+    shift = jnp.asarray([0.0, float(y0 * tile)], jnp.float32)
+    rec = jnp.concatenate(
+        [
+            pre.mean2d[safe] - shift[None, :],
+            pre.conic[safe],
+            opacities[safe, None],
+            colors[safe],
+            pre.depth[safe, None],
+            (gid0 + idx)[:, None].astype(jnp.float32),   # exact below 2^24
+            pre.rect_min[safe, 0, None].astype(jnp.float32),
+            rmin_y[safe, None].astype(jnp.float32),
+            w[safe, None].astype(jnp.float32),
+            h[safe, None].astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    rec = jnp.where(valid[:, None], rec, 0.0)
+    dropped = jnp.sum(send_mask) - jnp.sum(valid)  # selections beyond the budget
+    return rec, jnp.maximum(dropped, 0)
+
+
+def _records_to_pre(table, C):
+    """Received [M, R] records -> a band-local PreprocessOut (+ op, colors)."""
+    mean2d = table[:, 0:2]
+    conic = table[:, 2:5]
+    op = table[:, 5]
+    colors = table[:, 6 : 6 + C]
+    depth = table[:, 6 + C]
+    gid = table[:, 7 + C]  # noqa: F841  (order is positional; kept for clarity)
+    rx0 = table[:, 8 + C].astype(jnp.int32)
+    ry0 = table[:, 9 + C].astype(jnp.int32)
+    w = table[:, 10 + C].astype(jnp.int32)
+    h = table[:, 11 + C].astype(jnp.int32)
+    touched = w * h
+    pre = PreprocessOut(
+        mean2d=mean2d,
+        conic=conic,
+        depth=depth,
+        radius=jnp.where(touched > 0, 1, 0),
+        tiles_touched=touched,
+        rect_min=jnp.stack([rx0, ry0], axis=-1),
+        rect_max=jnp.stack([rx0 + w, ry0 + h], axis=-1),
+        cov3d=jnp.zeros((table.shape[0], 6), jnp.float32),
+    )
+    return pre, op, colors
+
+
+def render_gauss_sharded(means3d, scales, quats, opacities, colors, bg,
+                         cam: CameraMatrices, cfg: RasterizerConfig, mesh: Mesh,
+                         axis: str = "gauss", rows_per_band: int | None = None):
+    """Render with the POOL sharded over `axis`; tile-band owners composite.
+
+    Args:
+        means3d..colors: pool arrays, leading dim sharded over `axis` (place them
+            with NamedSharding(mesh, P(axis)) or pass host arrays — shard_map
+            splits them).
+        rows_per_band: static per-(source, destination) record budget. Default
+            n_local (never overflows; real deployments size it ~2 * n_local / D).
+
+    Returns:
+        (image [H, W, C], alpha [H, W], overflow []) — image and alpha bitwise
+        equal to the single-device `rasterize`; overflow counts records dropped
+        by the budget (0 = exact).
+    """
+    D = mesh.shape[axis]
+    gy = cfg.grid_y
+    if gy % D != 0:
+        raise ValueError(f"grid_y={gy} must divide over {D} devices; pad height "
+                         f"to a multiple of {cfg.tile * D}")
+    n = means3d.shape[0]
+    if n % D != 0:
+        raise ValueError(f"pool size {n} must divide over {D} devices")
+    n_loc = n // D
+    cap = rows_per_band or n_loc
+    band_gy = gy // D
+    C = colors.shape[-1]
+    band_cfg = cfg._replace(height=band_gy * cfg.tile,
+                            max_dup=max(cfg.max_dup // D, 4096))
+
+    def shard_fn(means3d, scales, quats, opacities, colors):
+        d = jax.lax.axis_index(axis)
+        op1 = opacities[:, 0] if opacities.ndim == 2 else opacities
+        pre = preprocess(
+            means3d, scales, quats, cam.viewmat, cam.projmat, cam.tan_fovx,
+            cam.tan_fovy, cfg.width, cfg.height, cfg.tile, cfg.scale_modifier,
+            None, None, op1,
+        )
+        gid0 = (d * n_loc).astype(jnp.float32)
+
+        sends, drops = [], []
+        for e in range(D):
+            rec, dropped = _band_records(pre, op1, colors, gid0, e, band_gy,
+                                         cfg.tile, cap, n_loc)
+            sends.append(rec)
+            drops.append(dropped)
+        send = jnp.stack(sends)                                     # [D, cap, R]
+
+        # The one collective: record buckets to their tile-band owners.
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                                  tiled=True)                       # [D, cap, R]
+        table = recv.reshape(D * cap, send.shape[-1])
+
+        pre_b, op_b, col_b = _records_to_pre(table, C)
+        zeros3 = jnp.zeros((D * cap, 3), jnp.float32)
+        quats0 = jnp.zeros((D * cap, 4), jnp.float32).at[:, 0].set(1.0)
+        img, aux = rasterize(zeros3, jnp.ones_like(zeros3), quats0, op_b, col_b,
+                             bg, cam, band_cfg, pre=pre_b)
+        overflow = jax.lax.psum(sum(drops) + aux.overflow, axis)
+        return img[None], aux.alpha[None], overflow[None]
+
+    specs = P(axis)
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(specs, specs, specs, specs, specs),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    img_bands, alpha_bands, overflow = fn(means3d, scales, quats, opacities, colors)
+    H, W = cfg.height, cfg.width
+    return (img_bands.reshape(H, W, C), alpha_bands.reshape(H, W), overflow[0])

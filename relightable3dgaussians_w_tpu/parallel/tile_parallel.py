@@ -38,7 +38,9 @@ def _band_pre(pre, band_gy: int, tile: int, axis: str):
     rmax_y = jnp.clip(pre.rect_max[:, 1] - y0, 0, band_gy)
     h = jnp.maximum(rmax_y - rmin_y, 0)
     w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 0)
-    touched = h * w
+    # Gate on the original tiles_touched: culled rows (tiles_touched == 0) can
+    # carry garbage rects that a bare h*w would resurrect inside the band.
+    touched = jnp.where(pre.tiles_touched > 0, h * w, 0)
     return pre._replace(
         mean2d=pre.mean2d - jnp.stack(
             [jnp.zeros((), jnp.float32), (y0 * tile).astype(jnp.float32)])[None, :],

@@ -15,8 +15,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "") == "cpu" or os.environ.get("SCALING_CPU"):
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var (CLAUDE.md); force it.
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
 import jax.numpy as jnp
 
 
