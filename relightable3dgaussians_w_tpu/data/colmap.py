@@ -137,18 +137,25 @@ def read_cameras_text(path: str) -> dict[int, ColmapCamera]:
 
 
 def read_images_text(path: str) -> dict[int, ColmapImage]:
+    # Two lines per image; the second (2D point list) may be EMPTY for images
+    # with no registered observations, so blanks must be kept while pairing
+    # (dropping them pairs image lines with each other and silently loses every
+    # other camera).
     images = {}
     with open(path) as f:
-        lines = [l.strip() for l in f if l.strip() and not l.startswith("#")]
-    for i in range(0, len(lines), 2):  # every other line is the 2D point list
-        parts = lines[i].split()
-        images[int(parts[0])] = ColmapImage(
-            int(parts[0]),
-            np.array([float(x) for x in parts[1:5]]),
-            np.array([float(x) for x in parts[5:8]]),
-            int(parts[8]),
-            parts[9],
-        )
+        lines = [l.strip() for l in f if not l.startswith("#")]
+    i = 0
+    for line in lines:
+        if i % 2 == 0 and line:
+            parts = line.split()
+            images[int(parts[0])] = ColmapImage(
+                int(parts[0]),
+                np.array([float(x) for x in parts[1:5]]),
+                np.array([float(x) for x in parts[5:8]]),
+                int(parts[8]),
+                parts[9],
+            )
+        i += 1
     return images
 
 

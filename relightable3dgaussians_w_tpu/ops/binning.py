@@ -217,7 +217,8 @@ def _expand_keys_xla(pre: PreprocessOut, counts, rect_w, n: int, max_dup: int,
 
 def bin_gaussians_aligned(pre: PreprocessOut, grid_x: int, grid_y: int,
                           max_dup: int, chunk: int, interpret: bool = False,
-                          use_expand_kernel: bool = True) -> AlignedEntries:
+                          use_expand_kernel: bool = True,
+                          slack: int = 512) -> AlignedEntries:
     """One-sort binning that lands DIRECTLY in the chunk-aligned layout the Pallas
     kernels stream — replacing bin_gaussians + align_entries (which cost a second
     4.8M-entry re-index: scatter-marks, cummax, and two big gathers, ~75ms at 1M
@@ -245,7 +246,12 @@ def bin_gaussians_aligned(pre: PreprocessOut, grid_x: int, grid_y: int,
     pad_budget = num_tiles * chunk
     # Round the total entry buffer to the segment-sum kernel's DMA macro so the
     # backward reduction needs no padding copies; extra slots are always-invalid.
-    d_aligned = ((max_dup + pad_budget + MACRO - 1) // MACRO) * MACRO
+    # `slack` reserves room for the composite kernels to stream in chunks LARGER
+    # than the alignment quantum (their last DMA per tile may read/write up to
+    # kernel_chunk - chunk slots past the segment end; reads are masked, writes
+    # land on the next segment before its owner overwrites them, and tail spill
+    # stays inside the always-invalid rounding slots).
+    d_aligned = ((max_dup + pad_budget + slack + MACRO - 1) // MACRO) * MACRO
     pad_budget = d_aligned - max_dup
 
     rank_bits = max(1, math.ceil(math.log2(n + 1)))  # reserve all-ones rank sentinel
@@ -273,10 +279,30 @@ def bin_gaussians_aligned(pre: PreprocessOut, grid_x: int, grid_y: int,
         # Depth-rank the rows with culled (count 0) rows sorted last, so live rows
         # form a strictly-increasing-offs prefix (the kernel's monotone-join
         # precondition). Stable ties keep the reference's duplication order.
+        # Sort payload cost on TPU is per-BYTE (BENCH_LOG r2), so the four small
+        # per-row fields ride ONE packed u32 payload when the grid allows
+        # (7 bits per rect field, h implied by count = w*h).
         depth_key = jnp.where(counts > 0, pre.depth, jnp.inf)
-        _, cnt_s, rx_s, ry_s, w_s, oid_s = jax.lax.sort(
-            (depth_key, counts, pre.rect_min[:, 0], pre.rect_min[:, 1], rect_w,
-             jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True)
+        rect_h = jnp.maximum(pre.rect_max[:, 1] - pre.rect_min[:, 1], 1)
+        if grid_x < 128 and grid_y < 128:
+            packed = (pre.rect_min[:, 0].astype(jnp.uint32)
+                      | (pre.rect_min[:, 1].astype(jnp.uint32) << 7)
+                      | (rect_w.astype(jnp.uint32) << 14)
+                      | (rect_h.astype(jnp.uint32) << 21))
+            dk_s, packed_s, oid_s = jax.lax.sort(
+                (depth_key, packed, jnp.arange(n, dtype=jnp.int32)),
+                num_keys=1, is_stable=True)
+            rx_s = (packed_s & 0x7F).astype(jnp.int32)
+            ry_s = ((packed_s >> 7) & 0x7F).astype(jnp.int32)
+            w_s = ((packed_s >> 14) & 0x7F).astype(jnp.int32)
+            h_s = ((packed_s >> 21) & 0x7F).astype(jnp.int32)
+            # Culled rows carry depth_key = inf: gate their counts back to 0.
+            cnt_s = jnp.where(jnp.isfinite(dk_s), w_s * h_s, 0)
+        else:
+            _, cnt_s, rx_s, ry_s, w_s, oid_s = jax.lax.sort(
+                (depth_key, counts, pre.rect_min[:, 0], pre.rect_min[:, 1],
+                 rect_w, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
+                is_stable=True)
         offs_s = (jnp.cumsum(cnt_s) - cnt_s).astype(jnp.int32)
         total = (offs_s[-1] + cnt_s[-1]).astype(jnp.int32) if n > 0 else jnp.int32(0)
         offs_f = offs_s.astype(jnp.float32)

@@ -149,7 +149,8 @@ def _prefix_exact(x, strict):
 
 
 def _fwd_kernel(starts_ref, counts_ref, feat_hbm, out_ref, tfin_ref,
-                scratch, sems, *, tile, chunk, channels, f_pad, grid_x):
+                scratch, sems, *, tile, chunk, channels, f_pad, grid_x,
+                align):
     t = pl.program_id(0)
     tx = t % grid_x
     ty = t // grid_x
@@ -162,7 +163,7 @@ def _fwd_kernel(starts_ref, counts_ref, feat_hbm, out_ref, tfin_ref,
 
     def get_dma(slot, c_idx):
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(pl.multiple_of(start + c_idx * chunk, chunk), chunk)],
+            feat_hbm.at[:, pl.ds(pl.multiple_of(start + c_idx * chunk, align), chunk)],
             scratch.at[slot],
             sems.at[slot],
         )
@@ -219,7 +220,8 @@ def _fwd_kernel(starts_ref, counts_ref, feat_hbm, out_ref, tfin_ref,
 
 
 def composite_forward_pallas(feat_t, tile_start, tile_count, bg, *, grid_x, grid_y,
-                             channels, tile=16, chunk=256, interpret=False):
+                             channels, tile=16, chunk=256, interpret=False,
+                             align=None):
     """feat_t: [F_pad, D_aligned] transposed entry features with chunk-aligned tile
     segments. Returns (tiles_rgb [T, P, C], tiles_tfin [T, P])."""
     f_pad, D = feat_t.shape
@@ -240,7 +242,8 @@ def composite_forward_pallas(feat_t, tile_start, tile_count, bg, *, grid_x, grid
         ],
     )
     kernel = functools.partial(_fwd_kernel, tile=tile, chunk=chunk,
-                               channels=channels, f_pad=f_pad, grid_x=grid_x)
+                               channels=channels, f_pad=f_pad, grid_x=grid_x,
+                               align=align or chunk)
     tiles_rgb, tiles_tfin = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -260,7 +263,8 @@ def composite_forward_pallas(feat_t, tile_start, tile_count, bg, *, grid_x, grid
 
 def _bwd_kernel(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
                 tfin_ref, dfeat_hbm, scratch, out_scratch, carry_vmem, sems,
-                out_sems, done_smem, *, tile, chunk, channels, f_pad, grid_x):
+                out_sems, done_smem, *, tile, chunk, channels, f_pad, grid_x,
+                align):
     t = pl.program_id(0)
     tx = t % grid_x
     ty = t // grid_x
@@ -280,7 +284,7 @@ def _bwd_kernel(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
 
     def get_dma(slot, c_idx):
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(pl.multiple_of(start + c_idx * chunk, chunk), chunk)],
+            feat_hbm.at[:, pl.ds(pl.multiple_of(start + c_idx * chunk, align), chunk)],
             scratch.at[slot],
             sems.at[slot],
         )
@@ -288,7 +292,7 @@ def _bwd_kernel(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
     def put_dma(slot, c_idx):
         return pltpu.make_async_copy(
             out_scratch.at[slot],
-            dfeat_hbm.at[:, pl.ds(pl.multiple_of(start + c_idx * chunk, chunk), chunk)],
+            dfeat_hbm.at[:, pl.ds(pl.multiple_of(start + c_idx * chunk, align), chunk)],
             out_sems.at[slot],
         )
 
@@ -422,7 +426,8 @@ def _bwd_kernel(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
 
 def composite_backward_pallas(feat_t, tile_start, tile_count, bg, tiles_rgb,
                               tiles_tfin, g_tiles, g_tfin, *, grid_x, grid_y,
-                              channels, tile=16, chunk=256, interpret=False):
+                              channels, tile=16, chunk=256, interpret=False,
+                              align=None):
     """Analytic backward on TPU. Returns (d_feat_t [F_pad, D], d_bg [C]).
 
     Args:
@@ -460,7 +465,8 @@ def composite_backward_pallas(feat_t, tile_start, tile_count, bg, tiles_rgb,
         ],
     )
     kernel = functools.partial(_bwd_kernel, tile=tile, chunk=chunk,
-                               channels=channels, f_pad=f_pad, grid_x=grid_x)
+                               channels=channels, f_pad=f_pad, grid_x=grid_x,
+                               align=align or chunk)
     d_feat_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -18,6 +18,7 @@ class PallasCompositeConfig(NamedTuple):
     tile: int = 16
     chunk: int = 256
     interpret: bool = False
+    align: int = 256   # tile-segment alignment quantum (<= chunk, multiple of 128)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -26,7 +27,7 @@ def composite_tiles_pallas(feat_t, tile_start, tile_count, bg, cfg: PallasCompos
     return composite_forward_pallas(
         feat_t, tile_start, tile_count, bg,
         grid_x=cfg.grid_x, grid_y=cfg.grid_y, channels=cfg.channels, tile=cfg.tile,
-        chunk=cfg.chunk, interpret=cfg.interpret,
+        chunk=cfg.chunk, interpret=cfg.interpret, align=cfg.align,
     )
 
 
@@ -41,7 +42,7 @@ def _bwd(cfg, res, cots):
     d_feat_t, d_bg = composite_backward_pallas(
         feat_t, tile_start, tile_count, bg, tiles_rgb, tiles_tfin, g_tiles, g_tfin,
         grid_x=cfg.grid_x, grid_y=cfg.grid_y, channels=cfg.channels, tile=cfg.tile,
-        chunk=cfg.chunk, interpret=cfg.interpret,
+        chunk=cfg.chunk, interpret=cfg.interpret, align=cfg.align,
     )
     # Columns past the last tile segment are never written by the kernel
     # (uninitialized memory) — mask them before the gather-transpose scatters

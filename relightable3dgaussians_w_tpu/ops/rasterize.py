@@ -44,6 +44,9 @@ class RasterizerConfig(NamedTuple):
     use_pallas: bool = False         # stream tiles through the Pallas TPU kernels
     pallas_chunk: int = 256          # entries per streamed chunk (Pallas path)
     pallas_interpret: bool = False   # interpreter mode (CPU testing)
+    align_chunk: int = 128           # tile-segment alignment quantum (TPU DMA
+                                     # needs 128; smaller than pallas_chunk cuts
+                                     # the pad slots every reorder stage carries)
 
     @property
     def grid_x(self) -> int:
@@ -173,24 +176,26 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
             )
         one_key = (math.ceil(math.log2(n + 1))
                    + math.ceil(math.log2(num_tiles + 2))) <= 32
+        align = min(cfg.align_chunk, cfg.pallas_chunk)
         if one_key:
             # Single sort lands directly in the chunk-aligned layout.
             aligned = bin_gaussians_aligned(pre, cfg.grid_x, cfg.grid_y,
-                                            cfg.max_dup, cfg.pallas_chunk,
-                                            interpret=cfg.pallas_interpret)
+                                            cfg.max_dup, align,
+                                            interpret=cfg.pallas_interpret,
+                                            slack=cfg.pallas_chunk)
         else:
             from .pallas.segment_sum import MACRO
 
             binning = bin_gaussians(pre, cfg.grid_x, cfg.grid_y, cfg.max_dup,
                                     cfg.max_tiles_per_gauss)
-            d_aligned = cfg.max_dup + num_tiles * cfg.pallas_chunk
+            d_aligned = cfg.max_dup + num_tiles * align + cfg.pallas_chunk
             d_aligned = ((d_aligned + MACRO - 1) // MACRO) * MACRO
-            aligned = align_entries(binning, num_tiles, cfg.pallas_chunk, d_aligned)
+            aligned = align_entries(binning, num_tiles, align, d_aligned)
         feat_t = _gather_features_t(pre, aligned, opacities, colors, mean2d_probe,
                                     interpret=cfg.pallas_interpret)
         pcfg = PallasCompositeConfig(grid_x=cfg.grid_x, grid_y=cfg.grid_y,
                                      channels=colors.shape[-1], tile=cfg.tile,
-                                     chunk=cfg.pallas_chunk,
+                                     chunk=cfg.pallas_chunk, align=align,
                                      interpret=cfg.pallas_interpret)
         tiles_rgb, tiles_tfin = composite_tiles_pallas(
             feat_t, aligned.tile_start, aligned.tile_count, bg, pcfg)

@@ -149,7 +149,7 @@ class Relightable3DGWTrainer:
     # ------------------------------------------------------------------ training
 
     def train(self, iterations: int | None = None, save_iterations=(15_000, 20_000, 30_000, 40_000),
-              log_every: int = 100):
+              log_every: int = 100, test_iterations=(7_000, 30_000)):
         cfg = self.cfg
         o = cfg.optimizer
         iterations = iterations or o.iterations
@@ -234,11 +234,69 @@ class Relightable3DGWTrainer:
                 if it % o.opacity_reset_interval == 0 or it == o.densify_from_iter:
                     self.state = self.fns.reset_opacity_step(self.state)
 
+            if it in set(test_iterations) or it == iterations:
+                self.evaluate_report(it)
+
             if it in set(save_iterations) or it == iterations:
                 self.save(it)
         self.profiler.close()
         self.logger.close()
         return self.state
+
+    def evaluate_report(self, it: int, n_train_views: int = 5):
+        """In-training evaluation (training_report + evaluate_test_report,
+        train.py:191-265): render a few train cameras + every test camera with the
+        current model, log PSNR/L1 scalars, and write render|GT panels to
+        <model_path>/panels/iteration_N/ (and TensorBoard when enabled). Test
+        cameras have no trained embedding yet, so they render with the mean train
+        embedding (the reference's full protocol fits test embeddings post-hoc,
+        evaluation.optimize_test_embeddings)."""
+        from PIL import Image as PILImage
+
+        from .renderer import render
+        from .utils import losses as LO
+
+        emb = self.state.params["embeddings"]
+        mean_emb = jnp.mean(emb, axis=0, keepdims=True)
+        panel_dir = os.path.join(self.model_path, "panels", f"iteration_{it}")
+        os.makedirs(panel_dir, exist_ok=True)
+
+        test_views, _, _ = (pad_cameras(self.test_cameras) if self.test_cameras
+                            else ([], 0, 0))
+        sets = [("train", self.train_views[:n_train_views], False),
+                ("test", test_views, True)]
+        for split, views, use_mean in sets:
+            psnrs, l1s = [], []
+            for view in views:
+                cam = view["cam"]
+                e = mean_emb if use_mean else emb[cam.uid][None]
+                envl, sky_sh = self.mlp.apply({"params": self.state.params["mlp"]},
+                                              e, deterministic=True)
+                out = render(
+                    self.state.params["gaussians"], self.state.gauss_state,
+                    envl[0], sky_sh, cam.matrices(), self.rcfg, self.bg_color,
+                    jnp.asarray(view["sky_mask"]),
+                    envlight_sh_degree=self.cfg.model.envlight_sh_degree,
+                    sky_sh_degree=self.cfg.model.sky_sh_degree,
+                    specular=self.cfg.model.specular,
+                    fix_sky=self.cfg.model.fix_sky, debug=False)
+                img = np.clip(np.asarray(out.render), 0, 1)
+                gt = view["image"]
+                occ = view["occluders_mask"][..., None]
+                chw = lambda x: jnp.moveaxis(jnp.asarray(x), -1, 0)
+                psnrs.append(float(LO.psnr(chw(img * occ), chw(gt * occ))))
+                l1s.append(float(LO.l1_loss(chw(img), chw(gt),
+                                            mask=chw(np.repeat(occ, 3, -1)))))
+                panel = np.concatenate([img, gt], axis=1)
+                PILImage.fromarray((panel * 255).astype(np.uint8)).save(
+                    os.path.join(panel_dir, f"{split}_{cam.image_name}.png"))
+                self.logger.image(it, f"{split}/{cam.image_name}", panel)
+            if psnrs:
+                rec = {f"{split}_psnr": float(np.mean(psnrs)),
+                       f"{split}_l1": float(np.mean(l1s))}
+                self.logger.scalars(it, rec)
+                print(f"[{it}] eval {split}: psnr={rec[f'{split}_psnr']:.2f} "
+                      f"l1={rec[f'{split}_l1']:.4f} over {len(psnrs)} views")
 
     # --------------------------------------------------------------- checkpoints
 

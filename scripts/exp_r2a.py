@@ -55,12 +55,99 @@ def preprocess_bwd_probe():
            opac, name="preprocess fwd+bwd (autodiff)")
 
 
+def grad_gather_probe():
+    """Gradient through preprocess+binning+gather WITHOUT compositing: isolates the
+    gather-transpose (segment-sum) + preprocess VJP from the composite kernels, to
+    locate the ~18ms that appears only when means/scales/quats require grads."""
+    from bench import build
+    from relightable3dgaussians_w_tpu.ops.preprocess import preprocess
+    from relightable3dgaussians_w_tpu.ops.binning import bin_gaussians_aligned
+    from relightable3dgaussians_w_tpu.ops.rasterize import _gather_features_t
+
+    n = 1_000_000
+    arrs, cam, cfg = build(n, 800, 800)
+    means, scales, quats, opac, colors = arrs
+
+    def loss(m, s, q, o, c):
+        pre = preprocess(m, s, q, cam.viewmat, cam.projmat, cam.tan_fovx,
+                         cam.tan_fovy, cfg.width, cfg.height, cfg.tile,
+                         cfg.scale_modifier, None, None, o)
+        aligned = bin_gaussians_aligned(pre, cfg.grid_x, cfg.grid_y, cfg.max_dup,
+                                        min(cfg.align_chunk, cfg.pallas_chunk),
+                                        slack=cfg.pallas_chunk)
+        feat_t = _gather_features_t(pre, aligned, o, c, None)
+        return jnp.sum(feat_t * jnp.sin(jnp.arange(feat_t.shape[1]) * 0.1)[None, :])
+
+    timeit(jax.jit(loss), *arrs, name="pre+bin+gather fwd")
+    timeit(jax.jit(jax.grad(loss, argnums=(3, 4))), *arrs,
+           name="pre+bin+gather grad wrt opac+colors")
+    timeit(jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4))), *arrs,
+           name="pre+bin+gather grad wrt all 5")
+
+
+def staged_pre_probe():
+    """Does the ~15ms means-chain tax vanish when preprocess outputs enter the
+    binning/gather graph as PROGRAM PARAMETERS instead of expressions? (The same
+    XLA scheduling pathology train_step.split_dispatch works around.)"""
+    from bench import build
+    from relightable3dgaussians_w_tpu.ops.preprocess import preprocess
+    from relightable3dgaussians_w_tpu.ops.binning import bin_gaussians_aligned
+    from relightable3dgaussians_w_tpu.ops.rasterize import _gather_features_t
+
+    n = 1_000_000
+    arrs, cam, cfg = build(n, 800, 800)
+    means, scales, quats, opac, colors = arrs
+
+    def w_of(feat_t):
+        # Distinct per-row weights: 9 IDENTICAL gradient payload rows get CSE'd
+        # by XLA and undercount the segment-sum sort (first probe's flaw).
+        r = jnp.arange(feat_t.shape[0], dtype=jnp.float32)[:, None]
+        c = jnp.arange(feat_t.shape[1], dtype=jnp.float32)[None, :]
+        return jnp.sin(c * 0.1 + r)
+
+    pre_f = jax.jit(lambda m, s, q, o: preprocess(
+        m, s, q, cam.viewmat, cam.projmat, cam.tan_fovx, cam.tan_fovy,
+        cfg.width, cfg.height, cfg.tile, cfg.scale_modifier, None, None, o))
+    pre = pre_f(means, scales, quats, opac)
+
+    def loss_staged(mean2d, conic, o, c):
+        p = pre._replace(mean2d=mean2d, conic=conic)
+        aligned = bin_gaussians_aligned(p, cfg.grid_x, cfg.grid_y, cfg.max_dup,
+                                        min(cfg.align_chunk, cfg.pallas_chunk),
+                                        slack=cfg.pallas_chunk)
+        feat_t = _gather_features_t(p, aligned, o, c, None)
+        return jnp.sum(feat_t * w_of(feat_t))
+
+    g_staged = jax.jit(jax.grad(loss_staged, argnums=(0, 1, 2, 3)))
+    timeit(g_staged, pre.mean2d, pre.conic, opac, colors,
+           name="STAGED bin+gather grad wrt (mean2d, conic, op, colors)")
+
+    def loss_fused(m, s, q, o, c):
+        pre = preprocess(m, s, q, cam.viewmat, cam.projmat, cam.tan_fovx,
+                         cam.tan_fovy, cfg.width, cfg.height, cfg.tile,
+                         cfg.scale_modifier, None, None, o)
+        aligned = bin_gaussians_aligned(pre, cfg.grid_x, cfg.grid_y, cfg.max_dup,
+                                        min(cfg.align_chunk, cfg.pallas_chunk),
+                                        slack=cfg.pallas_chunk)
+        feat_t = _gather_features_t(pre, aligned, o, c, None)
+        return jnp.sum(feat_t * w_of(feat_t))
+
+    timeit(jax.jit(jax.grad(loss_fused, argnums=(3, 4))), *arrs,
+           name="FUSED  bin+gather grad wrt (op, colors)")
+    timeit(jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))), *arrs,
+           name="FUSED  bin+gather grad wrt all 5")
+
+
 def main():
     which = os.environ.get("EXP", "all")
     if which in ("all", "sort"):
         sort_experiments()
     if which in ("all", "pre"):
         preprocess_bwd_probe()
+    if which in ("all", "gradgather"):
+        grad_gather_probe()
+    if which in ("all", "stagedpre"):
+        staged_pre_probe()
 
 
 if __name__ == "__main__":

@@ -1,7 +1,15 @@
-"""Self-consistency training check: render views of a known synthetic Gaussian scene
-with the framework's own renderer, then train a fresh model from random points on
-those images and report the PSNR trajectory. Validates the full optimize-render loop
-(gradient quality, densification, schedules) end-to-end without external data.
+"""Self-consistency training benchmark: render views of a known synthetic Gaussian
+scene (foreground blobs + sky shell, PER-VIEW environment lighting — the in-the-wild
+setting) with the framework's own renderer, then train a fresh model from random
+points on those images. Validates the full optimize-render loop (gradient quality,
+densification, per-image embedding/MLP lighting, schedules) end-to-end without
+external data — the committed, ASSERTED analog of the reference's train->eval->PSNR
+correctness story (full_eval.py:37-59).
+
+Writes the trajectory to selfcheck.jsonl (or $SELFCHECK_OUT) and FAILS (exit 1) if
+the best PSNR falls below $SELFCHECK_MIN_PSNR (default 21 at the default 1500/128 —
+calibrated on v5e, r2: best ~24.9) or if PSNR fails to improve by
+$SELFCHECK_MIN_GAIN dB (default 6) over the first checkpoint.
 
 Usage: python scripts/selfcheck_train.py [iters] [res]
 """
@@ -32,18 +40,33 @@ def main(iters=1500, res=128, n_views=8):
                             max_tiles_per_gauss=0, lmax_per_tile=512, tile_chunk=8,
                             use_pallas=use_pallas)
 
-    # ---- ground-truth scene: colorful blob cloud + simple sky
+    # ---- ground-truth scene: colorful blob cloud + a sky shell
     n_gt = 4000
+    n_sky = 384
     pts = np.stack([rng.uniform(-1.5, 1.5, n_gt), rng.uniform(-1.5, 1.5, n_gt),
                     rng.uniform(2.0, 6.0, n_gt)], -1).astype(np.float32)
-    gt_params, gt_state = G.init_from_points(pts, np.full(n_gt, 0.004, np.float32), n_gt + 256)
+    gt_params, gt_state = G.init_from_points(pts, np.full(n_gt, 0.004, np.float32),
+                                             n_gt + n_sky)
+    theta = rng.uniform(0.1, 1.4, n_sky)
+    phi = rng.uniform(-1.4, 1.4, n_sky)
+    R = 25.0
+    sky_pts = np.stack([R * np.sin(theta) * np.sin(phi), -R * np.cos(theta),
+                        4.0 + R * np.sin(theta) * np.cos(phi)], -1).astype(np.float32)
+    gt_params, gt_state = G.augment_with_sky(
+        gt_params, gt_state, sky_pts, np.full(n_sky, 1.5, np.float32), R,
+        np.array([0, 0, 4.0], np.float32))
     # randomize gt appearance
     key = jax.random.PRNGKey(1)
     gt_params = gt_params._replace(
         albedo=gt_params.albedo.at[:n_gt].set(jax.random.normal(key, (n_gt, 3))),
         opacity=gt_params.opacity.at[:n_gt].set(2.0),
     )
-    envl_gt = jnp.asarray(rng.uniform(0.0, 0.6, (25, 3)), jnp.float32)
+    # Per-view lighting (the in-the-wild setting, relit3DGW_model.py:59-73): a
+    # shared base envlight + a per-view perturbation the student's embeddings+MLP
+    # must absorb.
+    envl_base = rng.uniform(0.0, 0.6, (25, 3))
+    envl_gts = [jnp.asarray(envl_base + rng.uniform(-0.12, 0.12, (25, 3)),
+                            jnp.float32) for _ in range(n_views)]
     sky_gt = jnp.asarray(rng.uniform(-0.2, 0.2, (1, 4, 3)), jnp.float32)
 
     def make_cam(angle):
@@ -69,12 +92,12 @@ def main(iters=1500, res=128, n_views=8):
     sky_mask = jnp.ones((res, res))
 
     @jax.jit
-    def render_gt(cam):
+    def render_gt(cam, envl_gt):
         out = render(gt_params, gt_state, envl_gt, sky_gt, cam, rcfg, bg, sky_mask,
                      debug=False)
         return jnp.clip(out.render, 0, 1)
 
-    gts = [render_gt(c) for c in cams]
+    gts = [render_gt(c, e) for c, e in zip(cams, envl_gts)]
     print(f"rendered {n_views} GT views at {res}x{res} "
           f"(mean {float(jnp.stack(gts).mean()):.3f})")
 
@@ -126,10 +149,28 @@ def main(iters=1500, res=128, n_views=8):
     first = psnrs[0][1]
     best = max(p for _, p in psnrs)
     print(f"PSNR first={first:.2f} best={best:.2f} (gain {best - first:+.2f} dB)")
-    return psnrs
+
+    import json
+
+    out_path = os.environ.get("SELFCHECK_OUT", "selfcheck.jsonl")
+    with open(out_path, "w") as f:
+        for it, p in psnrs:
+            f.write(json.dumps({"iter": it, "psnr": p}) + "\n")
+        f.write(json.dumps({"iters": iters, "res": res, "views": n_views,
+                            "first": first, "best": best,
+                            "backend": jax.default_backend()}) + "\n")
+
+    min_psnr = float(os.environ.get("SELFCHECK_MIN_PSNR", 21.0))
+    min_gain = float(os.environ.get("SELFCHECK_MIN_GAIN", 6.0))
+    ok = best >= min_psnr and (best - first) >= min_gain
+    if not ok:
+        print(f"SELFCHECK FAILED: best {best:.2f} < {min_psnr} or gain "
+              f"{best - first:.2f} < {min_gain} dB — training quality regressed")
+    return psnrs, ok
 
 
 if __name__ == "__main__":
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
     res = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    main(iters, res)
+    _, ok = main(iters, res)
+    sys.exit(0 if ok else 1)
