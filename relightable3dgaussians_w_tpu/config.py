@@ -97,6 +97,9 @@ class RuntimeConfig:
                                       # ~2x faster on v5e; identical gradients
     profile_steps: str = ""           # "START:END" — jax.profiler trace of those steps
     tensorboard: bool = False         # mirror train scalars/images/histograms to TB
+    viewer_port: int = 0              # >0: serve the network viewer during training
+    viewer_ip: str = "127.0.0.1"      # (the reference's --ip/--port, train.py:279-280)
+    viewer_protocol: str = "sibr"     # "sibr" (stock SIBR remote viewer) or "json"
 
 
 @dataclass

@@ -158,7 +158,16 @@ class Relightable3DGWTrainer:
         rng = np.random.RandomState(cfg.runtime.seed)
         ema_loss = 0.0
         t0 = time.time()
+        warm = (0, t0)  # (iter, wall) after first logged step: excludes compile time
         timer = StepTimer()
+        viewer = None
+        if cfg.runtime.viewer_port > 0:
+            from .viewer import ViewerServer, handle_viewer_request
+            viewer = ViewerServer(cfg.runtime.viewer_ip, cfg.runtime.viewer_port,
+                                  protocol=cfg.runtime.viewer_protocol,
+                                  verify=cfg.dataset.source_path)
+            print(f"viewer: listening on {cfg.runtime.viewer_ip}:{viewer.port} "
+                  f"({cfg.runtime.viewer_protocol})")
 
         for it in range(1, iterations + 1):
             if not view_stack:
@@ -174,14 +183,26 @@ class Relightable3DGWTrainer:
                 view["occluders_mask"], jnp.asarray(cam.uid), k_step, self.bg_color,
             )
 
+            if viewer is not None:
+                try:
+                    from .viewer import handle_viewer_request
+                    handle_viewer_request(viewer, self)
+                except Exception as e:  # a viewer hiccup must never kill training
+                    print(f"viewer: request failed ({e}); dropping connection")
+                    viewer.close_conn()
+
             if it % log_every == 0 or it == 1:
                 loss = float(aux.loss)  # device pull synchronizes the step
                 iter_ms = timer.toc()
+                if warm[0] == 0:
+                    warm = (it, time.time())  # first pull done: compile excluded
                 ema_loss = 0.4 * loss + 0.6 * ema_loss
+                steady = ((it - warm[0]) / max(time.time() - warm[1], 1e-9)
+                          if it > warm[0] else 1e3 / max(iter_ms, 1e-9))
                 rec = dict(
                     loss=loss, l1=float(aux.l1), psnr=float(aux.psnr),
                     alive=int(aux.num_alive), overflow=int(aux.overflow),
-                    iter_time=iter_ms, iters_per_s=it / (time.time() - t0),
+                    iter_time=iter_ms, iters_per_s=steady,
                 )
                 self.logger.scalars(it, rec)
                 print(f"[{it}] loss={loss:.5f} psnr={rec['psnr']:.2f} "

@@ -2,8 +2,19 @@
 
 TPU-native equivalent of the reference's `gaussian_renderer/network_gui.py:26-85`
 (SIBR remote-viewer protocol: non-blocking accept, receive camera + settings, send
-rendered bytes). The reference's binary protocol is SIBR-specific; this server speaks
-a simple length-prefixed JSON protocol any client can drive:
+rendered bytes). Two wire protocols are supported:
+
+* ``protocol="sibr"`` — the reference's exact binary layout, so the stock SIBR
+  remote viewer connects unmodified: request = 4-byte LE length + JSON with
+  ``resolution_x/y, train, fov_y, fov_x, z_near, z_far, shs_python,
+  rot_scale_python, keep_alive, scaling_modifier, view_matrix,
+  view_projection_matrix`` (both matrices 16 floats, row-major, SIBR's row-vector
+  convention with columns 1 and 2 sign-flipped — network_gui.py:60-75); response =
+  raw RGB uint8 bytes (height*width*3, no length prefix) followed by a 4-byte LE
+  length + ASCII "verify" string (the dataset source path — train.py sends
+  ``network_gui.send(net_image_bytes, dataset.source_path)``).
+* ``protocol="json"`` — a simple symmetric length-prefixed JSON protocol any
+  client can drive:
 
     request:  4-byte LE length + JSON {
         "viewmat": [[...4x4...]], "fovx": f, "fovy": f,
@@ -25,11 +36,48 @@ import jax
 import jax.numpy as jnp
 
 
+def _normalize_sibr(msg: dict) -> dict:
+    """Reference SIBR message -> the canonical request dict.
+
+    Mirrors network_gui.receive(): reshape row-major, negate view-matrix columns
+    1 and 2, keep the projection matrix as sent. SIBR matrices are in the
+    reference's row-vector convention (p_row @ M), i.e. the TRANSPOSE of this
+    framework's math convention (M @ [p, 1]) — transpose both here.
+    """
+    w = int(msg.get("resolution_x", 0))
+    h = int(msg.get("resolution_y", 0))
+    if w == 0 or h == 0:
+        return {"width": 0, "height": 0, "keep_alive": bool(msg.get("keep_alive", True)),
+                "train": bool(msg.get("train", True))}
+    view = np.asarray(msg["view_matrix"], np.float32).reshape(4, 4)
+    view[:, 1] *= -1.0
+    view[:, 2] *= -1.0
+    proj = np.asarray(msg["view_projection_matrix"], np.float32).reshape(4, 4)
+    return {
+        "width": w,
+        "height": h,
+        "fovx": float(msg["fov_x"]),
+        "fovy": float(msg["fov_y"]),
+        "znear": float(msg.get("z_near", 0.01)),
+        "zfar": float(msg.get("z_far", 100.0)),
+        "viewmat": view.T,               # math convention
+        "projmat": proj.T,               # full view-projection, math convention
+        "scaling_modifier": float(msg.get("scaling_modifier", 1.0)),
+        "train": bool(msg.get("train", True)),
+        "keep_alive": bool(msg.get("keep_alive", True)),
+    }
+
+
 class ViewerServer:
-    def __init__(self, host: str = "127.0.0.1", port: int = 6009):
+    def __init__(self, host: str = "127.0.0.1", port: int = 6009,
+                 protocol: str = "json", verify: str = ""):
+        assert protocol in ("json", "sibr")
+        self.protocol = protocol
+        self.verify = verify             # SIBR handshake string (source path)
         self.listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.listener.bind((host, port))
+        self.port = self.listener.getsockname()[1]   # resolves port=0
         self.listener.listen(1)
         self.listener.settimeout(0)
         self.conn: socket.socket | None = None
@@ -60,20 +108,32 @@ class ViewerServer:
                     raise ConnectionError("client closed")
                 buf += chunk
             self.conn.settimeout(0)
-            return json.loads(buf)
+            msg = json.loads(buf)
+            return _normalize_sibr(msg) if self.protocol == "sibr" else msg
         except (BlockingIOError, socket.timeout):
             return None
         except (ConnectionError, OSError):
             self.close_conn()
             return None
 
-    def send_image(self, image: np.ndarray):
-        """image: [H, W, 3] float in [0,1]."""
+    def send_image(self, image: np.ndarray | None):
+        """image: [H, W, 3] float in [0,1], or None (SIBR heartbeat reply)."""
         if self.conn is None:
             return
-        data = (np.clip(image, 0, 1) * 255).astype(np.uint8).tobytes()
         try:
-            self.conn.sendall(struct.pack("<I", len(data)) + data)
+            if self.protocol == "sibr":
+                # Reference network_gui.send(): raw image bytes (if any), then the
+                # length-prefixed verify string.
+                if image is not None:
+                    data = (np.clip(image, 0, 1) * 255).astype(np.uint8).tobytes()
+                    self.conn.sendall(data)
+                v = self.verify.encode("ascii")
+                self.conn.sendall(struct.pack("<I", len(v)) + v)
+            else:
+                if image is None:
+                    return
+                data = (np.clip(image, 0, 1) * 255).astype(np.uint8).tobytes()
+                self.conn.sendall(struct.pack("<I", len(data)) + data)
         except (ConnectionError, OSError):
             self.close_conn()
 
@@ -87,15 +147,19 @@ class ViewerServer:
 
 def handle_viewer_request(server: ViewerServer, trainer) -> bool:
     """Poll once: if a request is pending, render it and reply. Returns True if a
-    frame was served. Call between training iterations (train.py GUI loop analog)."""
+    frame was served. Call between training iterations (the reference's in-loop
+    network_gui block, train.py:279-280 flags + network_gui.py:57-85)."""
     if not server.try_connect():
         return False
     req = server.receive()
     if req is None:
         return False
+    if req.get("width", 0) == 0 or req.get("height", 0) == 0:
+        server.send_image(None)          # heartbeat: keep-alive reply, no frame
+        return False
 
     from .renderer import render as render_fn
-    from .ops.rasterize import CameraMatrices, RasterizerConfig
+    from .ops.rasterize import CameraMatrices
     from .utils.graphics import projection_matrix
 
     W = int(req.get("width", trainer.W))
@@ -103,15 +167,22 @@ def handle_viewer_request(server: ViewerServer, trainer) -> bool:
     viewmat = np.asarray(req["viewmat"], np.float32)
     fovx = float(req["fovx"])
     fovy = float(req["fovy"])
-    proj = projection_matrix(0.01, 100.0, fovx, fovy)
+    if "projmat" in req:
+        proj_full = np.asarray(req["projmat"], np.float32)
+    else:
+        proj_full = projection_matrix(
+            float(req.get("znear", 0.01)), float(req.get("zfar", 100.0)),
+            fovx, fovy) @ viewmat
     cam = CameraMatrices(
         viewmat=jnp.asarray(viewmat),
-        projmat=jnp.asarray((proj @ viewmat).astype(np.float32)),
+        projmat=jnp.asarray(proj_full.astype(np.float32)),
         campos=jnp.asarray(np.linalg.inv(viewmat)[:3, 3]),
         tan_fovx=jnp.float32(np.tan(fovx / 2)),
         tan_fovy=jnp.float32(np.tan(fovy / 2)),
     )
-    rcfg = trainer.rcfg._replace(width=W, height=H)
+    rcfg = trainer.rcfg._replace(
+        width=W, height=H,
+        scale_modifier=float(req.get("scaling_modifier", 1.0)))
     idx = int(req.get("embedding_index", 0))
     e = trainer.state.params["embeddings"][idx][None]
     envl, sky_sh = trainer.mlp.apply({"params": trainer.state.params["mlp"]}, e,
