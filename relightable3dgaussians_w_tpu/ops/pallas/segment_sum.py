@@ -116,8 +116,20 @@ def segment_sum_rows(rows, ids: jnp.ndarray, num_segments: int,
     if presorted:
         sorted_ops = (ids.astype(jnp.uint32),) + tuple(rows)
     else:
-        sorted_ops = jax.lax.sort((ids.astype(jnp.uint32),) + tuple(rows),
-                                  num_keys=1)
+        # Pack payload rows pairwise into complex64: the sort only MOVES payload
+        # bytes (no arithmetic), so real/imag round-trips bitwise while halving
+        # the per-payload sort-pass count — measured ~2-4 ms/payload/2.4M on v5e,
+        # and the training path carries 6 + 13 AOV gradient rows through here.
+        n_pairs = f_used // 2
+        pairs = tuple(jax.lax.complex(rows[2 * i], rows[2 * i + 1])
+                      for i in range(n_pairs))
+        tail = tuple(rows[2 * n_pairs:])
+        out_s = jax.lax.sort((ids.astype(jnp.uint32),) + pairs + tail, num_keys=1)
+        unpacked = []
+        for p in out_s[1:1 + n_pairs]:
+            unpacked += [jnp.real(p), jnp.imag(p)]
+        unpacked += list(out_s[1 + n_pairs:])
+        sorted_ops = (out_s[0],) + tuple(unpacked)
     ids_s = sorted_ops[0].astype(jnp.int32)
     # ONE packed array -> one DMA per macro step (see module docstring): row 0 is
     # the ids as exact f32, rows 1..1+F the sorted gradient rows, padded to a
