@@ -60,25 +60,37 @@ def build(n, W, H, seed=0):
         lmax_per_tile=int(os.environ.get("BENCH_LMAX", 4096)),
         tile_chunk=int(os.environ.get("BENCH_TILE_CHUNK", 8)),
         use_pallas=use_pallas,
-        pallas_chunk=int(os.environ.get("BENCH_CHUNK", 256)),
+        pallas_chunk=int(os.environ.get("BENCH_CHUNK", 512)),
     )
     return arrs, cam, cfg
 
 
 def main():
-    from relightable3dgaussians_w_tpu.ops.rasterize import rasterize
+    from relightable3dgaussians_w_tpu.ops.rasterize import (
+        rasterize, make_rasterize_grad_split)
 
     n = int(os.environ.get("BENCH_N", 1_000_000))
     W = H = int(os.environ.get("BENCH_RES", 800))
     iters = int(os.environ.get("BENCH_ITERS", 10))
+    split = os.environ.get("BENCH_SPLIT", "1") == "1"
     arrs, cam, cfg = build(n, W, H)
     bg = jnp.zeros(3, jnp.float32)
 
-    def loss_fn(means, scales, quats, opac, colors):
-        img, aux = rasterize(means, scales, quats, opac, colors, bg, cam, cfg)
+    def img_loss(img, aux):
         return jnp.sum(img) + jnp.sum(aux.alpha)
 
-    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+    def loss_fn(means, scales, quats, opac, colors):
+        img, aux = rasterize(means, scales, quats, opac, colors, bg, cam, cfg)
+        return img_loss(img, aux)
+
+    if split:
+        # Three dispatches with preprocess outputs staged as program parameters
+        # (make_rasterize_grad_split) — the fused one-program grad compiles to a
+        # 2-4x slower backward schedule on v5e (BENCH_LOG.md).
+        split_step = make_rasterize_grad_split(cam, cfg, img_loss)
+        step = lambda m, s, q, o, c: split_step(m, s, q, o, c, bg)[1]
+    else:
+        step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
 
     def pull(out):
         # Force a 4-byte scalar transfer: under the axon tunnel,
@@ -114,6 +126,7 @@ def main():
         "vs_baseline": pix_s / NOMINAL_BASELINE_PIX_S,
         "extra": {"ms_per_iter": dt * 1e3, "overflow_entries": overflow,
                   "backend": jax.devices()[0].platform, "pallas": cfg.use_pallas,
+                  "split": split,
                   **({"parity": parity} if parity is not None else {})},
     }))
 

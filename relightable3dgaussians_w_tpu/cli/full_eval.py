@@ -28,6 +28,12 @@ def main(argv=None):
     from . import metrics as metrics_cli
     from . import eval_gt_envmaps as eval_cli
 
+    # The checkpoint to evaluate = the last training iteration (the reference
+    # hardcodes 40000, full_eval.py:31; honor an iterations override so reduced
+    # runs evaluate the checkpoint they actually wrote).
+    iters = next((o.split("=", 1)[1] for o in overrides
+                  if o.startswith("optimizer.iterations=")), "40000")
+
     for scene in scenes:
         src = os.path.join(data_root, scene)
         mp = os.path.join(output, scene)
@@ -39,14 +45,14 @@ def main(argv=None):
         print(f"=== scene {scene}: train ===")
         train_cli.main(common)
         print(f"=== scene {scene}: render ===")
-        render_cli.main(common + ["model.load_iteration=40000"])
+        render_cli.main(common + [f"model.load_iteration={iters}"])
         print(f"=== scene {scene}: metrics ===")
         metrics_cli.main([mp, "--half"])
         tc = os.path.join(data_root, "test_configs", scene)
         if os.path.isdir(tc):
             print(f"=== scene {scene}: gt-envmap eval ===")
             eval_cli.main(common + [f"dataset.test_config_path={tc}",
-                                    "model.load_iteration=40000"])
+                                    f"model.load_iteration={iters}"])
 
 
 if __name__ == "__main__":

@@ -138,17 +138,18 @@ def tile_histogram(pre: PreprocessOut, grid_x: int, grid_y: int) -> jnp.ndarray:
     axis-aligned, so count[ty, tx] = sum_g stepy_g(ty) * stepx_g(tx) is one [gy, N] x
     [N, gx] matmul on the MXU (0/1 inputs in bf16, f32 accumulation — integer-exact
     below 2^24). Replaces a 4M-entry scatter-add histogram (~10^2 ms on TPU) with a
-    ~0.1 ms matmul.
+    matmul. The step masks are GENERATED in the contraction-minor [grid, N] layout —
+    the [N, grid] form made XLA transpose 200 MB per operand before the dot
+    (5.25 -> measured ~1.5 ms at 1M Gaussians, exp_r3c).
     """
-    alive = (pre.tiles_touched > 0)
-    tx = jnp.arange(grid_x, dtype=jnp.int32)
-    ty = jnp.arange(grid_y, dtype=jnp.int32)
-    sx = ((pre.rect_min[:, 0:1] <= tx[None, :]) & (tx[None, :] < pre.rect_max[:, 0:1]))
-    sy = ((pre.rect_min[:, 1:2] <= ty[None, :]) & (ty[None, :] < pre.rect_max[:, 1:2]))
-    sx = jnp.where(alive[:, None], sx, False).astype(jnp.bfloat16)
-    sy = sy.astype(jnp.bfloat16)
+    alive = (pre.tiles_touched > 0)[None, :]
+    tx = jnp.arange(grid_x, dtype=jnp.int32)[:, None]
+    ty = jnp.arange(grid_y, dtype=jnp.int32)[:, None]
+    sx = ((pre.rect_min[None, :, 0] <= tx) & (tx < pre.rect_max[None, :, 0]) & alive)
+    sy = ((pre.rect_min[None, :, 1] <= ty) & (ty < pre.rect_max[None, :, 1]))
     counts2d = jax.lax.dot_general(
-        sy, sx, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        sy.astype(jnp.bfloat16), sx.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     return counts2d.reshape(-1).astype(jnp.int32)  # tile-major: t = ty*grid_x + tx
 
 

@@ -93,7 +93,7 @@ def _kernel(starts_ref, uppers_ref, packed_ref, out_ref,
 
 
 def segment_sum_rows(rows, ids: jnp.ndarray, num_segments: int,
-                     block: int = 512, interpret: bool = False,
+                     block: int = 1024, interpret: bool = False,
                      presorted: bool = False) -> jnp.ndarray:
     """Sum rows with equal ids: out[i, f] = sum over e with ids[e] == i of
     rows[f][e].

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 import math
@@ -227,3 +228,72 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
         overflow=overflow,
     )
     return image, aux
+
+
+def make_rasterize_grad_split(cam: CameraMatrices, cfg: RasterizerConfig, loss_fn):
+    """Differentiated rasterization as THREE jitted dispatches instead of one
+    fused program.
+
+    XLA-on-v5e compiles the rasterizer backward 2-4x slower whenever its inputs
+    (mean2d/conic) are parameter EXPRESSIONS instead of program parameters — same
+    HLO op mix, worse schedule (scripts/exp_r2a.py staged_pre_probe: 48.7 vs
+    61.7 ms on the bin+gather subgraph alone; same pathology the training step's
+    split_dispatch sidesteps at the RenderInputs level, BENCH_LOG.md). Staging the
+    preprocess outputs across a dispatch boundary removes it:
+
+      P1: preprocess forward (means/scales/quats[/opac] -> PreprocessOut)
+      P2: binning + gather + composite + loss, grads w.r.t.
+          (mean2d, conic, opacities, colors) — all program parameters
+      P3: preprocess VJP (cotangents on mean2d/conic -> d_means/d_scales/d_quats)
+
+    `loss_fn(image, aux) -> scalar` is traced inside P2. Opacity receives no
+    preprocess-chain gradient by construction (the rect tightening is behind
+    stop_gradient), so P2's d_opac is already total.
+
+    Returns step(means, scales, quats, opac, colors, bg) ->
+    (loss, (d_means, d_scales, d_quats, d_opac, d_colors), overflow).
+    """
+
+    @jax.jit
+    def p1(means3d, scales, quats, opacities):
+        return preprocess(
+            means3d, scales, quats, cam.viewmat, cam.projmat, cam.tan_fovx,
+            cam.tan_fovy, cfg.width, cfg.height, cfg.tile, cfg.scale_modifier,
+            None, None, opacities,
+        )
+
+    @jax.jit
+    def p2(pre: PreprocessOut, means3d, opacities, colors, bg):
+        def f(mean2d, conic, opac, cols):
+            p = pre._replace(mean2d=mean2d, conic=conic)
+            img, aux = rasterize(means3d, None, None, opac, cols, bg, cam, cfg,
+                                 pre=p)
+            return loss_fn(img, aux), aux.overflow
+
+        (loss, overflow), grads = jax.value_and_grad(
+            f, argnums=(0, 1, 2, 3), has_aux=True)(
+                pre.mean2d, pre.conic, opacities, colors)
+        return loss, grads, overflow
+
+    @jax.jit
+    def p3(means3d, scales, quats, opacities, d_mean2d, d_conic):
+        def f(m, s, q):
+            p = preprocess(
+                m, s, q, cam.viewmat, cam.projmat, cam.tan_fovx, cam.tan_fovy,
+                cfg.width, cfg.height, cfg.tile, cfg.scale_modifier, None, None,
+                opacities,
+            )
+            return p.mean2d, p.conic
+
+        _, vjp = jax.vjp(f, means3d, scales, quats)
+        return vjp((d_mean2d, d_conic))
+
+    def step(means3d, scales, quats, opacities, colors, bg):
+        pre = p1(means3d, scales, quats, opacities)
+        loss, (d_m2d, d_conic, d_opac, d_colors), overflow = p2(
+            pre, means3d, opacities, colors, bg)
+        d_means, d_scales, d_quats = p3(means3d, scales, quats, opacities,
+                                        d_m2d, d_conic)
+        return loss, (d_means, d_scales, d_quats, d_opac, d_colors), overflow
+
+    return step

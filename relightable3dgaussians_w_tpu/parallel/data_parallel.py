@@ -5,7 +5,9 @@ cameras is sharded over the mesh's `data` axis; every device runs the full fused
 render + loss + backward for its cameras; gradients are mean-reduced across the batch
 (XLA lowers the reduction to psum over ICI under pjit) and one Adam step is applied to
 the replicated parameters. Gaussian pool rows and their Adam moments are sharded over
-the `gauss` axis for HBM scaling; XLA inserts the gather for the binning stage.
+the `gauss` axis for HBM scaling; when gauss > 1 the render runs through the
+tile-ownership all-to-all exchange (parallel.gauss_shard.rasterize_gauss_sharded) in
+BOTH forward and backward — the pool is never all-gathered.
 
 Note on semantics: the reference applies one Adam step per image. B-way DP applies one
 step per B images with averaged gradients — the standard large-batch trade; the
@@ -89,7 +91,20 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 def make_dp_train_step(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig, mesh: Mesh):
     """Build the jitted data-parallel step: (TrainState, CameraBatch, keys, bg) ->
-    (TrainState, metrics)."""
+    (TrainState, metrics). With a gauss axis > 1 the rasterization inside every
+    per-camera loss runs gauss-sharded (tile-ownership all-to-all, no pool
+    all-gather in forward or backward)."""
+    gauss_sharded = "gauss" in mesh.shape and mesh.shape["gauss"] > 1
+    if gauss_sharded:
+        from .gauss_shard import rasterize_gauss_sharded
+
+        def raster_fn(xyz, scales, quats, opacity, colors, bg, cam, rc,
+                      mean2d_probe=None, active=None):
+            return rasterize_gauss_sharded(
+                xyz, scales, quats, opacity, colors, bg, cam, rc, mesh,
+                mean2d_probe=mean2d_probe, active=active)
+    else:
+        raster_fn = None
 
     def per_camera_loss(params, gauss_state, probe, batch: CameraBatch, i, key, step, bg):
         cam = CameraMatrices(
@@ -99,43 +114,80 @@ def make_dp_train_step(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig, mesh: M
         return forward_loss(
             params, gauss_state, probe, mlp, cam, batch.gt_image[i],
             batch.sky_mask[i], batch.occluders_mask[i], batch.uid[i], key, step,
-            cfg, rcfg, bg,
+            cfg, rcfg, bg, raster_fn=raster_fn,
         )
 
-    def batched_loss(params, gauss_state, probe, batch, keys, step, bg):
+    def per_image_grads(params, gauss_state, probe, batch, keys, step, bg):
+        """Per-image (NOT mean) loss gradients, stacked on a leading batch dim.
+
+        vmap over cameras when purely data-parallel (XLA splits the batch over
+        `data`); with a gauss axis the shard_map inside raster_fn composes with
+        lax.scan but not vmap, so cameras run sequentially and the gauss axis
+        parallelizes WITHIN each camera (the reference's own semantics is one
+        image at a time, train.py:55-163)."""
         B = batch.uid.shape[0]
-        losses, auxs = jax.vmap(
-            lambda i, k: per_camera_loss(params, gauss_state, probe, batch, i, k, step, bg)
-        )(jnp.arange(B), keys)
-        # Mean loss over the batch -> psum over `data` when lowered.
-        return jnp.mean(losses), auxs
+
+        def one(i, k):
+            return jax.value_and_grad(
+                lambda p, pr: per_camera_loss(p, gauss_state, pr, batch, i, k,
+                                              step, bg),
+                argnums=(0, 1), has_aux=True)(params, probe)
+
+        if gauss_sharded:
+            def body(_, ik):
+                i, k = ik
+                (loss, aux), grads = one(i, k)
+                return 0, (loss, aux, grads)
+            _, (losses, auxs, grads) = jax.lax.scan(
+                body, 0, (jnp.arange(B), keys))
+        else:
+            (losses, auxs), grads = jax.vmap(one)(jnp.arange(B), keys)
+        return losses, auxs, grads
 
     def step_fn(state: TrainState, batch: CameraBatch, keys, bg):
         n = state.gauss_state.alive.shape[0]
         probe = jnp.zeros((n, 2))
-        (loss, auxs), grads = jax.value_and_grad(batched_loss, argnums=(0, 2), has_aux=True)(
-            state.params, state.gauss_state, probe, batch, keys, state.step, bg
-        )
-        param_grads, probe_grad = grads
-
-        adam = make_optimizer()
-        updates, new_opt_state = adam.update(param_grads, state.opt_state, state.params)
-        lrs = make_lr_tree(state.params, state.step, cfg.optimizer)
-        updates = jax.tree_util.tree_map(lambda u, lr: -lr * u, updates, lrs)
-        new_params = optax.apply_updates(state.params, updates)
-
-        # Densification stats: probe grads already sum contributions over the batch
-        # (mean loss => /B; undo to match B sequential reference steps).
         B = batch.uid.shape[0]
-        ndc_grad = probe_grad * B * jnp.asarray([0.5 * rcfg.width, 0.5 * rcfg.height])
+        losses, auxs, (param_grads_b, probe_grad_b) = per_image_grads(
+            state.params, state.gauss_state, probe, batch, keys, state.step, bg)
+
+        # SEQUENTIAL Adam microsteps from the B parallel gradients: gradient i is
+        # computed at the pre-batch params (parallel), but the Adam moments and
+        # parameters update once PER IMAGE in order — matching the reference's
+        # one-step-per-image dynamics (train.py:55-163: B lr-sized moves and B
+        # moment updates per B images) up to gradient staleness within the batch.
+        # A single mean-gradient step (the r2 semantics) moves the params only
+        # ~1/B as far per image under Adam's normalization and was measured
+        # 3.5 dB behind per-image training (DP_AB_r02.json, VERDICT r2 item 3).
+        adam = make_optimizer()
+
+        def micro(carry, i):
+            params, opt_state, step = carry
+            g = jax.tree_util.tree_map(lambda a: a[i], param_grads_b)
+            updates, opt_state = adam.update(g, opt_state, params)
+            lrs = make_lr_tree(params, step, cfg.optimizer)
+            updates = jax.tree_util.tree_map(lambda u, lr: -lr * u, updates, lrs)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, step + 1), 0
+
+        (new_params, new_opt_state, new_step), _ = jax.lax.scan(
+            micro, (state.params, state.opt_state, state.step), jnp.arange(B))
+
+        # Densification stats: per-image probe grads summed over the batch — the
+        # same accumulation B sequential reference steps perform
+        # (gaussian_model.py:627-629).
+        ndc_grad = jnp.sum(probe_grad_b, axis=0) * jnp.asarray(
+            [0.5 * rcfg.width, 0.5 * rcfg.height])
         visible_any = jnp.any(auxs["visibility"], axis=0)
         max_radii = jnp.max(auxs["radii"], axis=0)
         new_gstate = G.add_densification_stats(state.gauss_state, ndc_grad,
                                                visible_any, max_radii)
 
-        new_state = TrainState(new_params, new_gstate, new_opt_state, state.step + 1)
+        # The step counter advances by B: schedules (lr decay, densify gates) are
+        # defined on the reference's image-count axis.
+        new_state = TrainState(new_params, new_gstate, new_opt_state, new_step)
         metrics = dict(
-            loss=loss,
+            loss=jnp.mean(losses),
             psnr=jnp.mean(auxs["psnr"]),
             overflow=jnp.max(auxs["overflow"]),
             num_alive=G.num_alive(new_gstate),

@@ -167,8 +167,14 @@ def render_from_inputs(inp: RenderInputs, state: G.GaussianState,
                        bg_color: jnp.ndarray, sky_mask: jnp.ndarray,
                        debug: bool = True, normal_view: bool = False,
                        mean2d_probe=None, c2w: jnp.ndarray | None = None,
-                       use_autodiff_twin: bool = False) -> RenderOutput:
-    """Rasterize the prepared leaf inputs and assemble the AOV maps."""
+                       use_autodiff_twin: bool = False,
+                       raster_fn=None) -> RenderOutput:
+    """Rasterize the prepared leaf inputs and assemble the AOV maps.
+
+    raster_fn: optional override with `rasterize`'s
+    (xyz, scales, quats, opacity, colors, bg, cam, rcfg, mean2d_probe, active)
+    -> (image, aux) contract — the gauss-sharded training step injects
+    parallel.gauss_shard.rasterize_gauss_sharded here."""
     C = inp.colors.shape[-1]
     bg = jnp.concatenate([
         bg_color, bg_color, bg_color, bg_color[:1],  # rgb, diffuse, specular, depth
@@ -178,11 +184,16 @@ def render_from_inputs(inp: RenderInputs, state: G.GaussianState,
         bg = jnp.concatenate([bg, bg_color, bg_color[:1], bg_color[:1], bg_color])
     assert bg.shape[0] == C, (bg.shape, C)
 
-    image, aux = rasterize(
-        inp.xyz, inp.scales, inp.quats, inp.opacity, inp.colors, bg, cam, rcfg,
-        mean2d_probe=mean2d_probe, active=state.alive,
-        use_autodiff_twin=use_autodiff_twin,
-    )
+    if raster_fn is not None:
+        image, aux = raster_fn(inp.xyz, inp.scales, inp.quats, inp.opacity,
+                               inp.colors, bg, cam, rcfg,
+                               mean2d_probe=mean2d_probe, active=state.alive)
+    else:
+        image, aux = rasterize(
+            inp.xyz, inp.scales, inp.quats, inp.opacity, inp.colors, bg, cam, rcfg,
+            mean2d_probe=mean2d_probe, active=state.alive,
+            use_autodiff_twin=use_autodiff_twin,
+        )
 
     alpha = aux.alpha
     depth_map = image[..., 9]

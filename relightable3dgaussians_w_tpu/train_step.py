@@ -128,14 +128,15 @@ def make_leaf_inputs(params, gauss_state: G.GaussianState, mlp: MLPNet,
 def core_loss(inp: RenderInputs, envlight_sh, gauss_state: G.GaussianState,
               mean2d_probe, cam: CameraMatrices, gt_image, sky_mask,
               occluders_mask, key, step, cfg: Config, rcfg: RasterizerConfig,
-              bg_color):
+              bg_color, raster_fn=None):
     """Stage B: rasterize the leaf inputs and evaluate the loss stack
     (train.py:78-113). Returns (loss, aux dict)."""
     o = cfg.optimizer
     _, _, k_envl = jax.random.split(key, 3)
 
     out = render_from_inputs(inp, gauss_state, cam, rcfg, bg_color, sky_mask,
-                             debug=False, mean2d_probe=mean2d_probe)
+                             debug=False, mean2d_probe=mean2d_probe,
+                             raster_fn=raster_fn)
 
     # Losses operate in the reference's [C, H, W] layout.
     chw = lambda x: jnp.moveaxis(x, -1, 0)
@@ -191,12 +192,14 @@ def core_loss(inp: RenderInputs, envlight_sh, gauss_state: G.GaussianState,
 
 def forward_loss(params, gauss_state: G.GaussianState, mean2d_probe, mlp: MLPNet,
                  cam: CameraMatrices, gt_image, sky_mask, occluders_mask, cam_uid,
-                 key, step, cfg: Config, rcfg: RasterizerConfig, bg_color):
+                 key, step, cfg: Config, rcfg: RasterizerConfig, bg_color,
+                 raster_fn=None):
     """Fused loss stack (stage A + stage B in one graph). Returns (loss, aux)."""
     inp, envlight_sh = make_leaf_inputs(params, gauss_state, mlp, cam, cam_uid,
                                         key, cfg)
     return core_loss(inp, envlight_sh, gauss_state, mean2d_probe, cam, gt_image,
-                     sky_mask, occluders_mask, key, step, cfg, rcfg, bg_color)
+                     sky_mask, occluders_mask, key, step, cfg, rcfg, bg_color,
+                     raster_fn=raster_fn)
 
 
 class TrainFns(NamedTuple):

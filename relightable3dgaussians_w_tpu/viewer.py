@@ -39,10 +39,11 @@ import jax.numpy as jnp
 def _normalize_sibr(msg: dict) -> dict:
     """Reference SIBR message -> the canonical request dict.
 
-    Mirrors network_gui.receive(): reshape row-major, negate view-matrix columns
-    1 and 2, keep the projection matrix as sent. SIBR matrices are in the
-    reference's row-vector convention (p_row @ M), i.e. the TRANSPOSE of this
-    framework's math convention (M @ [p, 1]) — transpose both here.
+    Mirrors network_gui.receive() exactly (network_gui.py:72-77): reshape
+    row-major, negate view-matrix columns 1 and 2, negate view-PROJECTION
+    column 1. SIBR matrices are in the reference's row-vector convention
+    (p_row @ M), i.e. the TRANSPOSE of this framework's math convention
+    (M @ [p, 1]) — transpose both here.
     """
     w = int(msg.get("resolution_x", 0))
     h = int(msg.get("resolution_y", 0))
@@ -53,6 +54,7 @@ def _normalize_sibr(msg: dict) -> dict:
     view[:, 1] *= -1.0
     view[:, 2] *= -1.0
     proj = np.asarray(msg["view_projection_matrix"], np.float32).reshape(4, 4)
+    proj[:, 1] *= -1.0
     return {
         "width": w,
         "height": h,
@@ -97,6 +99,13 @@ class ViewerServer:
             return None
         try:
             header = self.conn.recv(4, socket.MSG_PEEK)
+            if len(header) == 0:
+                # recv() == b'' on a non-blocking socket means orderly shutdown:
+                # drop the connection so the listener can accept a new client
+                # (otherwise try_connect() returns True forever and the viewer
+                # is wedged for the rest of training).
+                self.close_conn()
+                return None
             if len(header) < 4:
                 return None
             (n,) = struct.unpack("<I", self.conn.recv(4))
@@ -146,18 +155,39 @@ class ViewerServer:
 
 
 def handle_viewer_request(server: ViewerServer, trainer) -> bool:
-    """Poll once: if a request is pending, render it and reply. Returns True if a
-    frame was served. Call between training iterations (the reference's in-loop
-    network_gui block, train.py:279-280 flags + network_gui.py:57-85)."""
+    """Serve pending viewer requests between training iterations. Returns True if
+    at least one frame was served.
+
+    Mirrors the stock 3DGS in-loop GUI block semantics (network_gui receive/send +
+    the `do_training` flag): while the client sends requests with train=False,
+    training PAUSES here and frames keep being served; a train=True request (or no
+    pending request while unpaused) returns control to the training loop.
+    """
+    import time as _time
+
     if not server.try_connect():
         return False
-    req = server.receive()
-    if req is None:
-        return False
-    if req.get("width", 0) == 0 or req.get("height", 0) == 0:
-        server.send_image(None)          # heartbeat: keep-alive reply, no frame
-        return False
+    served = False
+    paused = False
+    while server.conn is not None:
+        req = server.receive()
+        if req is None:
+            if paused:
+                _time.sleep(0.005)       # client paused training: keep serving
+                continue
+            break
+        paused = not req.get("train", True)
+        if req.get("width", 0) == 0 or req.get("height", 0) == 0:
+            server.send_image(None)      # heartbeat: keep-alive reply, no frame
+            continue
+        _serve_frame(server, trainer, req)
+        served = True
+        if not paused:
+            break
+    return served
 
+
+def _serve_frame(server: ViewerServer, trainer, req: dict):
     from .renderer import render as render_fn
     from .ops.rasterize import CameraMatrices
     from .utils.graphics import projection_matrix
@@ -196,4 +226,3 @@ def handle_viewer_request(server: ViewerServer, trainer) -> bool:
         fix_sky=bool(req.get("fix_sky", trainer.cfg.model.fix_sky)), debug=False,
     )
     server.send_image(np.asarray(out.render))
-    return True

@@ -11,7 +11,7 @@ to isolate optimizer semantics) two ways with identical view order and init:
   B: data=B virtual-CPU mesh, one step per B images  (DP semantics)
 
 and records the mean train-view PSNR trajectory of each on the same image-count
-axis. Writes DP_AB_r02.json; exits 1 if the final PSNRs diverge by more than
+axis. Writes DP_AB_r03.json; exits 1 if the final PSNRs diverge by more than
 $DPAB_MAX_DIVERGENCE dB (default 1.5 — large-batch lag at this tiny scale is
 expected, a multiple of it indicates broken DP gradients/stats).
 
@@ -186,7 +186,7 @@ def main(images=1024, res=96, B=4, eval_every=128):
         "trajectory_dp": traj_b,
         "final_psnr": {"per_image": final_a, "dp": final_b, "divergence_db": div},
     }
-    path = os.environ.get("DPAB_OUT", "DP_AB_r02.json")
+    path = os.environ.get("DPAB_OUT", "DP_AB_r03.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out["final_psnr"]))

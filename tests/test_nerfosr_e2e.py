@@ -101,5 +101,5 @@ def test_nerfosr_reader_and_train_cli(tmp_path):
         recs = [json.loads(l) for l in fh]
     assert np.isfinite([r["loss"] for r in recs if "loss" in r]).all()
     # In-training eval produced test-set PSNR + panels (train.py:191-265 analog).
-    assert any("test_psnr" in r for r in recs)
+    assert any("test_psnr_mean_emb" in r for r in recs)
     assert os.path.isdir(os.path.join(out, "panels", "iteration_12"))

@@ -85,8 +85,13 @@ def test_binning_overflow_rejects_update_and_heals(tmp_path):
     np.testing.assert_array_equal(np.asarray(state1.params["gaussians"].xyz), p0)
     assert int(state1.step) == int(trainer.state.step) + 1
 
-    # The training loop heals max_dup at log time and later steps apply updates.
-    trainer.train(iterations=12, save_iterations=(), log_every=1)
+    # The training loop heals max_dup IMMEDIATELY (one step delayed, not at the
+    # log boundary): with log_every far beyond the run length, after only 2
+    # iterations the budget must have grown (step 1 overflowed + was rejected;
+    # healing runs before step 2's dispatch) and step 2's update must have
+    # landed — i.e. at most ONE rejected step per overflow event.
+    trainer.train(iterations=2, save_iterations=(), log_every=100)
     assert trainer.rcfg.max_dup > dup0, "max_dup was not grown after overflow"
     p_after = np.asarray(trainer.state.params["gaussians"].xyz)
-    assert np.abs(p_after - p0).max() > 0, "no update ever applied after healing"
+    assert np.abs(p_after - p0).max() > 0, \
+        "update not applied on the first post-heal step (more than 1 rejected)"

@@ -77,7 +77,7 @@ def test_trainer_end_to_end(tmp_path):
     with open(trainer.log_path) as f:
         recs = [json.loads(l) for l in f]
     losses = [r["loss"] for r in recs if "loss" in r]  # eval records lack it
-    assert any("test_psnr" in r or "train_psnr" in r for r in recs)  # eval ran
+    assert any("test_psnr_mean_emb" in r or "train_psnr" in r for r in recs)  # eval ran
     assert os.path.isdir(os.path.join(out, "panels", "iteration_40"))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]

@@ -17,6 +17,20 @@ import numpy as np
 from relightable3dgaussians_w_tpu.viewer import ViewerServer, _normalize_sibr
 
 
+def _reference_receive_transform(msg):
+    """Behavioral transliteration of the REFERENCE's network_gui.receive() matrix
+    handling (network_gui.py:72-77): reshape row-major; negate view-matrix columns
+    1 and 2; negate view-projection column 1. The results are the reference's
+    row-vector-convention MiniCam matrices — the ground truth any decoder of this
+    wire format must agree with."""
+    view = np.asarray(msg["view_matrix"], np.float32).reshape(4, 4).copy()
+    view[:, 1] = -view[:, 1]
+    view[:, 2] = -view[:, 2]
+    proj = np.asarray(msg["view_projection_matrix"], np.float32).reshape(4, 4).copy()
+    proj[:, 1] = -proj[:, 1]
+    return view, proj
+
+
 def _sibr_wire_from_ours(viewmat):
     """Encode OUR math-convention view matrix as SIBR sends it: transpose to the
     row-vector convention, then negate columns 1 and 2 (the inverse of the flips
@@ -25,6 +39,34 @@ def _sibr_wire_from_ours(viewmat):
     wire[:, 1] *= -1.0
     wire[:, 2] *= -1.0
     return wire
+
+
+def _sibr_wire_proj_from_ours(projmat):
+    """Encode OUR math-convention view-projection matrix as SIBR sends it:
+    transpose, then negate column 1 (inverse of network_gui.py:76-77's flip)."""
+    wire = projmat.T.copy()
+    wire[:, 1] *= -1.0
+    return wire
+
+
+def test_normalize_sibr_matches_reference_transform():
+    """_normalize_sibr must agree with the reference receive() on ARBITRARY wire
+    bytes (not just ones produced by our own encoder): our canonical matrices are
+    the transposes of the reference's row-vector MiniCam matrices."""
+    rng = np.random.RandomState(7)
+    msg = {
+        "resolution_x": 32, "resolution_y": 16,
+        "train": True, "fov_y": 0.7, "fov_x": 0.9,
+        "z_near": 0.01, "z_far": 100.0,
+        "shs_python": False, "rot_scale_python": False,
+        "keep_alive": True, "scaling_modifier": 1.0,
+        "view_matrix": rng.randn(16).astype(np.float32).tolist(),
+        "view_projection_matrix": rng.randn(16).astype(np.float32).tolist(),
+    }
+    ref_view, ref_proj = _reference_receive_transform(msg)
+    req = _normalize_sibr(msg)
+    np.testing.assert_allclose(req["viewmat"], ref_view.T, atol=1e-6)
+    np.testing.assert_allclose(req["projmat"], ref_proj.T, atol=1e-6)
 
 
 def _look_at_viewmat():
@@ -48,7 +90,7 @@ def test_normalize_sibr_conventions():
         "shs_python": False, "rot_scale_python": False,
         "keep_alive": True, "scaling_modifier": 0.7,
         "view_matrix": _sibr_wire_from_ours(ours).reshape(-1).tolist(),
-        "view_projection_matrix": proj.T.reshape(-1).tolist(),
+        "view_projection_matrix": _sibr_wire_proj_from_ours(proj).reshape(-1).tolist(),
     }
     req = _normalize_sibr(msg)
     assert req["width"] == 64 and req["height"] == 48
@@ -104,7 +146,7 @@ def test_sibr_socket_roundtrip():
             "shs_python": False, "rot_scale_python": False,
             "keep_alive": True, "scaling_modifier": 1.0,
             "view_matrix": _sibr_wire_from_ours(ours).reshape(-1).tolist(),
-            "view_projection_matrix": ours.T.reshape(-1).tolist(),
+            "view_projection_matrix": _sibr_wire_proj_from_ours(ours).reshape(-1).tolist(),
         }
         payload = json.dumps(msg).encode()
         client.sendall(struct.pack("<I", len(payload)) + payload)
@@ -129,6 +171,68 @@ def test_sibr_socket_roundtrip():
         server.send_image(None)
         (vlen,) = struct.unpack("<I", _recv_exact(client, 4))
         assert _recv_exact(client, vlen) == b"/data/scene"
+        client.close()
+    finally:
+        server.close_conn()
+        server.listener.close()
+
+
+def test_disconnect_frees_listener():
+    """A client that closes its socket must not wedge the viewer: receive() sees
+    the orderly-shutdown empty read, drops the connection, and a NEW client can
+    connect (regression: conn stayed set, try_connect() returned True forever)."""
+    server = ViewerServer(port=0, protocol="sibr")
+    try:
+        client = _connect(server)
+        client.close()
+        for _ in range(100):
+            assert server.receive() is None
+            if server.conn is None:
+                break
+            time.sleep(0.01)
+        assert server.conn is None, "closed client connection never dropped"
+        client2 = _connect(server)
+        assert server.conn is not None
+        client2.close()
+    finally:
+        server.close_conn()
+        server.listener.close()
+
+
+def test_pause_loop_serves_until_train_resumes():
+    """train=False requests pause training inside handle_viewer_request (stock
+    3DGS GUI-loop semantics); a train=True request returns control."""
+    import threading
+
+    from relightable3dgaussians_w_tpu.viewer import handle_viewer_request
+
+    server = ViewerServer(port=0, protocol="sibr", verify="v")
+    try:
+        client = _connect(server)
+
+        def hb(train):
+            m = json.dumps({"resolution_x": 0, "resolution_y": 0,
+                            "train": train, "keep_alive": True}).encode()
+            client.sendall(struct.pack("<I", len(m)) + m)
+
+        hb(False)
+        done = threading.Event()
+        # Heartbeats never render, so trainer=None is safe here.
+        t = threading.Thread(
+            target=lambda: (handle_viewer_request(server, None), done.set()))
+        t.start()
+        # Paused: two verify-only replies must arrive (one per heartbeat) while
+        # the handler stays in its loop.
+        (n,) = struct.unpack("<I", _recv_exact(client, 4))
+        _recv_exact(client, n)
+        assert not done.is_set()
+        hb(False)
+        (n,) = struct.unpack("<I", _recv_exact(client, 4))
+        _recv_exact(client, n)
+        assert not done.is_set()
+        hb(True)                         # resume training
+        assert done.wait(5.0), "handler never returned after train=True"
+        t.join()
         client.close()
     finally:
         server.close_conn()
