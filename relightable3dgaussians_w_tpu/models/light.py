@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.texture import bilinear_sample, bilinear_sample_packed
@@ -131,7 +132,8 @@ def shade(base: jnp.ndarray, sh_degree: int, positions: jnp.ndarray,
     # Gauss-Weierstrass attenuation folds into the basis row and one [N, K] @ [K, 3]
     # matmul contracts against the shared env SH.
     k = sh_basis(sh_degree, reflvec) * gauss_kernel(kr, sh_degree)  # [N, K]
-    spec_irr = k @ base[: k.shape[-1]]                              # [N, 3]
+    spec_irr = jnp.matmul(k, base[: k.shape[-1]],
+                          precision=jax.lax.Precision.HIGHEST)      # [N, 3]
     spec_irr = jnp.maximum(spec_irr, 1e-4)
 
     if km is None:

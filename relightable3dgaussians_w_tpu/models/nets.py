@@ -35,17 +35,22 @@ class MLPNet(nn.Module):
         d = self.dense_layer_size
         sh_dim_envl = (self.sh_degree_envl + 1) ** 2
         sh_dim_sky = (self.sh_degree_sky + 1) ** 2
+        # f32 matmuls: this net PRODUCES the per-image envlight/sky SH — TPU's
+        # default bf16 dense layers inject ~0.4% noise into the lighting every
+        # step (r3 TPU selfcheck leg); the layers are tiny, f32 is free.
+        HI = jax.lax.Precision.HIGHEST
+        Dense = lambda n: nn.Dense(n, precision=HI)
 
-        x = nn.Dense(d)(e)
+        x = Dense(d)(e)
         x = nn.Dropout(0.2, deterministic=deterministic)(x)
         x = nn.relu(x)
-        x = nn.relu(nn.Dense(d)(x))
-        base = nn.relu(nn.Dense(d // 2)(x))
+        x = nn.relu(Dense(d)(x))
+        base = nn.relu(Dense(d // 2)(x))
 
-        sh_sky = nn.Dense(sh_dim_sky * 3)(base).reshape(e.shape[:-1] + (sh_dim_sky, 3))
+        sh_sky = Dense(sh_dim_sky * 3)(base).reshape(e.shape[:-1] + (sh_dim_sky, 3))
 
-        y = nn.relu(nn.Dense(d // 2)(base))
-        sh_envl = nn.Dense(sh_dim_envl * 3)(y).reshape(e.shape[:-1] + (sh_dim_envl, 3))
+        y = nn.relu(Dense(d // 2)(base))
+        sh_envl = Dense(sh_dim_envl * 3)(y).reshape(e.shape[:-1] + (sh_dim_envl, 3))
         return sh_envl, sh_sky
 
 

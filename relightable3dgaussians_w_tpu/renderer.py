@@ -168,13 +168,15 @@ def render_from_inputs(inp: RenderInputs, state: G.GaussianState,
                        debug: bool = True, normal_view: bool = False,
                        mean2d_probe=None, c2w: jnp.ndarray | None = None,
                        use_autodiff_twin: bool = False,
-                       raster_fn=None) -> RenderOutput:
+                       raster_fn=None, pre=None) -> RenderOutput:
     """Rasterize the prepared leaf inputs and assemble the AOV maps.
 
     raster_fn: optional override with `rasterize`'s
     (xyz, scales, quats, opacity, colors, bg, cam, rcfg, mean2d_probe, active)
     -> (image, aux) contract — the gauss-sharded training step injects
-    parallel.gauss_shard.rasterize_gauss_sharded here."""
+    parallel.gauss_shard.rasterize_gauss_sharded here.
+    pre: optional precomputed PreprocessOut (the split training step stages it
+    as program parameters across a dispatch boundary, train_step.py)."""
     C = inp.colors.shape[-1]
     bg = jnp.concatenate([
         bg_color, bg_color, bg_color, bg_color[:1],  # rgb, diffuse, specular, depth
@@ -192,7 +194,7 @@ def render_from_inputs(inp: RenderInputs, state: G.GaussianState,
         image, aux = rasterize(
             inp.xyz, inp.scales, inp.quats, inp.opacity, inp.colors, bg, cam, rcfg,
             mean2d_probe=mean2d_probe, active=state.alive,
-            use_autodiff_twin=use_autodiff_twin,
+            use_autodiff_twin=use_autodiff_twin, pre=pre,
         )
 
     alpha = aux.alpha

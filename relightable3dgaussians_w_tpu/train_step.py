@@ -128,7 +128,7 @@ def make_leaf_inputs(params, gauss_state: G.GaussianState, mlp: MLPNet,
 def core_loss(inp: RenderInputs, envlight_sh, gauss_state: G.GaussianState,
               mean2d_probe, cam: CameraMatrices, gt_image, sky_mask,
               occluders_mask, key, step, cfg: Config, rcfg: RasterizerConfig,
-              bg_color, raster_fn=None):
+              bg_color, raster_fn=None, pre=None):
     """Stage B: rasterize the leaf inputs and evaluate the loss stack
     (train.py:78-113). Returns (loss, aux dict)."""
     o = cfg.optimizer
@@ -136,7 +136,7 @@ def core_loss(inp: RenderInputs, envlight_sh, gauss_state: G.GaussianState,
 
     out = render_from_inputs(inp, gauss_state, cam, rcfg, bg_color, sky_mask,
                              debug=False, mean2d_probe=mean2d_probe,
-                             raster_fn=raster_fn)
+                             raster_fn=raster_fn, pre=pre)
 
     # Losses operate in the reference's [C, H, W] layout.
     chw = lambda x: jnp.moveaxis(x, -1, 0)
@@ -270,23 +270,57 @@ def make_train_fns(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig,
         return _apply_update(state, param_grads, probe_grad, loss, aux)
 
     # ---------------------------------------------------- split-dispatch stages
+    #
+    # Five dispatches: A (params -> leaf inputs), B1 (preprocess fwd), B2
+    # (binning + gather + composite + loss, grads w.r.t. the STAGED preprocess
+    # outputs and the direct leaf inputs), B3 (preprocess VJP), C (leaf-input
+    # chain VJP + Adam). B was one dispatch in r2; staging the preprocess
+    # outputs as program parameters inside it removes the same XLA scheduling
+    # pathology the A/B/C split works around (ops/rasterize.py
+    # make_rasterize_grad_split, BENCH_LOG.md r3).
 
     def _stage_a(params, gauss_state, cam, cam_uid, key):
         return make_leaf_inputs(params, gauss_state, mlp, cam, cam_uid, key, cfg)
 
-    def _stage_b(inp, envlight_sh, gauss_state, cam, gt_image, sky_mask,
-                 occluders_mask, key, step, bg_color):
-        n = gauss_state.alive.shape[0]
-        probe = jnp.zeros((n, 2))
+    def _stage_b1(inp: RenderInputs, gauss_state, cam: CameraMatrices):
+        from .ops.preprocess import preprocess
 
-        def f(inp, envlight_sh, probe):
-            return core_loss(inp, envlight_sh, gauss_state, probe, cam, gt_image,
+        return preprocess(
+            inp.xyz, inp.scales, inp.quats, cam.viewmat, cam.projmat,
+            cam.tan_fovx, cam.tan_fovy, rcfg.width, rcfg.height, rcfg.tile,
+            rcfg.scale_modifier, None, gauss_state.alive, inp.opacity[:, 0],
+        )
+
+    def _stage_b2(pre, inp: RenderInputs, envlight_sh, gauss_state, cam,
+                  gt_image, sky_mask, occluders_mask, key, step, bg_color):
+        def f(mean2d, conic, depth, opacity, colors, scales, envl):
+            p = pre._replace(mean2d=mean2d, conic=conic, depth=depth)
+            inp2 = inp._replace(opacity=opacity, colors=colors, scales=scales)
+            return core_loss(inp2, envl, gauss_state, None, cam, gt_image,
                              sky_mask, occluders_mask, key, step, cfg, rcfg,
-                             bg_color)
+                             bg_color, pre=p)
 
         (loss, aux), grads = jax.value_and_grad(
-            f, argnums=(0, 1, 2), has_aux=True)(inp, envlight_sh, probe)
+            f, argnums=(0, 1, 2, 3, 4, 5, 6), has_aux=True)(
+                pre.mean2d, pre.conic, pre.depth, inp.opacity, inp.colors,
+                inp.scales, envlight_sh)
         return loss, aux, grads
+
+    def _stage_b3(inp: RenderInputs, gauss_state, cam, d_mean2d, d_conic,
+                  d_depth):
+        from .ops.preprocess import preprocess
+
+        def f(xyz, scales, quats):
+            p = preprocess(
+                xyz, scales, quats, cam.viewmat, cam.projmat, cam.tan_fovx,
+                cam.tan_fovy, rcfg.width, rcfg.height, rcfg.tile,
+                rcfg.scale_modifier, None, gauss_state.alive,
+                inp.opacity[:, 0],
+            )
+            return p.mean2d, p.conic, p.depth
+
+        _, vjp = jax.vjp(f, inp.xyz, inp.scales, inp.quats)
+        return vjp((d_mean2d, d_conic, d_depth))
 
     def _stage_c(state: TrainState, cam, cam_uid, key, d_inp, d_envl, probe_grad,
                  loss, aux):
@@ -299,16 +333,27 @@ def make_train_fns(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig,
         return _apply_update(state, param_grads, probe_grad, loss, aux)
 
     jit_a = jax.jit(_stage_a)
-    jit_b = jax.jit(_stage_b)
+    jit_b1 = jax.jit(_stage_b1)
+    jit_b2 = jax.jit(_stage_b2)
+    jit_b3 = jax.jit(_stage_b3)
     jit_c = jax.jit(_stage_c)
 
     def _train_step_split(state: TrainState, cam: CameraMatrices, gt_image,
                           sky_mask, occluders_mask, cam_uid, key, bg_color):
         inp, envl = jit_a(state.params, state.gauss_state, cam, cam_uid, key)
-        loss, aux, (d_inp, d_envl, probe_grad) = jit_b(
-            inp, envl, state.gauss_state, cam, gt_image, sky_mask,
+        pre = jit_b1(inp, state.gauss_state, cam)
+        loss, aux, (d_m2d, d_conic, d_depth, d_op, d_colors, d_scales_direct,
+                    d_envl) = jit_b2(
+            pre, inp, envl, state.gauss_state, cam, gt_image, sky_mask,
             occluders_mask, key, state.step, bg_color)
-        return jit_c(state, cam, cam_uid, key, d_inp, d_envl, probe_grad, loss, aux)
+        d_xyz, d_scales_pre, d_quats = jit_b3(inp, state.gauss_state, cam,
+                                              d_m2d, d_conic, d_depth)
+        d_inp = RenderInputs(xyz=d_xyz, scales=d_scales_pre + d_scales_direct,
+                             quats=d_quats, opacity=d_op, colors=d_colors)
+        # The mean2d cotangent IS the densification probe gradient: the probe is
+        # added to pre.mean2d inside the rasterizer, and mean2d's only other
+        # consumers (tile rects) are derivative-dead floor/int chains.
+        return jit_c(state, cam, cam_uid, key, d_inp, d_envl, d_m2d, loss, aux)
 
     def _densify(state: TrainState, key, grad_threshold, extent, max_screen_size):
         adam_state = state.opt_state

@@ -54,8 +54,14 @@ def _blur(img: jnp.ndarray, win: jnp.ndarray, window_size: int) -> jnp.ndarray:
     kh = win.reshape(1, 1, window_size, 1)
     kw = win.reshape(1, 1, 1, window_size)
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn)
+    # f32 convs: TPU's default bf16 contraction destroys SSIM's variances
+    # (sigma^2 = E[x^2] - mu^2 cancels catastrophically at 2^-8 products) —
+    # diagnosed via the r3 TPU selfcheck leg (22.6 dB vs 34.0 on CPU).
+    HI = jax.lax.Precision.HIGHEST
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)],
+                                     dimension_numbers=dn, precision=HI)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)],
+                                     dimension_numbers=dn, precision=HI)
     return x[:, 0]
 
 
@@ -100,7 +106,9 @@ def smoothing_depth_loss(depth_map: jnp.ndarray, mask: jnp.ndarray | None = None
     k = jnp.ones((1, 1, 5, 5), depth_map.dtype) / 25.0
     x = depth_map[None, None]
     dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NCHW", "OIHW", "NCHW"))
-    avg = jax.lax.conv_general_dilated(x, k, (1, 1), [(2, 2), (2, 2)], dimension_numbers=dn)[0, 0]
+    avg = jax.lax.conv_general_dilated(x, k, (1, 1), [(2, 2), (2, 2)],
+                                       dimension_numbers=dn,
+                                       precision=jax.lax.Precision.HIGHEST)[0, 0]
     avg = jax.lax.stop_gradient(avg)
     if mask is None:
         return jnp.mean(jnp.abs(depth_map - avg))

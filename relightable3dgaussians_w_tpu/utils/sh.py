@@ -9,6 +9,7 @@ shape-polymorphic over leading batch dims and differentiable.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 # Real SH basis constants Y_lm in Cartesian form (l<=5). Same numerical constants as
@@ -146,7 +147,11 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     n = num_sh_coeffs(deg)
     assert sh.shape[-1] >= n, (sh.shape, deg)
     basis = sh_basis(deg, dirs)  # [..., n]
-    return jnp.einsum("...cn,...n->...c", sh[..., :n], basis)
+    # f32 contraction: SH color evaluation feeds rendered colors and their
+    # gradients; TPU's default bf16 einsum costs ~0.4% per-color noise that
+    # compounds through training (r3 TPU selfcheck leg).
+    return jnp.einsum("...cn,...n->...c", sh[..., :n], basis,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def rgb_to_sh(rgb: jnp.ndarray) -> jnp.ndarray:

@@ -180,8 +180,9 @@ def main(images=1024, res=96, B=4, eval_every=128):
         "config": {"images": images, "res": res, "B": B, "n_views": n_views,
                    "densification": False,
                    "note": "arm A: one Adam step/image (reference train.py:55-80); "
-                           "arm B: one step per B images, mean grads "
-                           "(parallel/data_parallel.py). Same init/order/keys."},
+                           "arm B: B parallel per-image grads + B sequential Adam "
+                           "microsteps per DP step (parallel/data_parallel.py). "
+                           "Same init/order/keys."},
         "trajectory_per_image_step": traj_a,
         "trajectory_dp": traj_b,
         "final_psnr": {"per_image": final_a, "dp": final_b, "divergence_db": div},
