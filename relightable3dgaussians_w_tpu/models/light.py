@@ -16,6 +16,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# Toggleable for perf bisection; f32 is the correctness default (see shade()).
+SPEC_PRECISION = jax.lax.Precision.HIGHEST
+
 from ..ops.texture import bilinear_sample, bilinear_sample_packed
 from ..utils.sh import eval_sh, gauss_kernel, gamma_correction, sh_basis
 from .brdf_lut import get_fg_lut, get_fg_lut_quad
@@ -133,7 +136,7 @@ def shade(base: jnp.ndarray, sh_degree: int, positions: jnp.ndarray,
     # matmul contracts against the shared env SH.
     k = sh_basis(sh_degree, reflvec) * gauss_kernel(kr, sh_degree)  # [N, K]
     spec_irr = jnp.matmul(k, base[: k.shape[-1]],
-                          precision=jax.lax.Precision.HIGHEST)      # [N, 3]
+                          precision=SPEC_PRECISION)                 # [N, 3]
     spec_irr = jnp.maximum(spec_irr, 1e-4)
 
     if km is None:

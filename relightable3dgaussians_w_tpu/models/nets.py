@@ -18,6 +18,10 @@ def he_normal_init():
     return nn.initializers.he_normal()
 
 
+# Toggleable for perf bisection; f32 is the correctness default (see MLPNet).
+DENSE_PRECISION = jax.lax.Precision.HIGHEST
+
+
 class MLPNet(nn.Module):
     """embedding -> (envlight SH [(deg_envl+1)^2, 3], sky SH [(deg_sky+1)^2, 3]).
 
@@ -38,8 +42,7 @@ class MLPNet(nn.Module):
         # f32 matmuls: this net PRODUCES the per-image envlight/sky SH — TPU's
         # default bf16 dense layers inject ~0.4% noise into the lighting every
         # step (r3 TPU selfcheck leg); the layers are tiny, f32 is free.
-        HI = jax.lax.Precision.HIGHEST
-        Dense = lambda n: nn.Dense(n, precision=HI)
+        Dense = lambda n: nn.Dense(n, precision=DENSE_PRECISION)
 
         x = Dense(d)(e)
         x = nn.Dropout(0.2, deterministic=deterministic)(x)

@@ -150,91 +150,106 @@ def _prefix_exact(x, strict):
 
 def _fwd_kernel(starts_ref, counts_ref, feat_hbm, out_ref, tfin_ref,
                 scratch, sems, *, tile, chunk, channels, f_pad, grid_x,
-                align):
-    t = pl.program_id(0)
-    tx = t % grid_x
-    ty = t // grid_x
-    start = starts_ref[t]
-    count = counts_ref[t]
+                align, tb):
     P = tile * tile
-    n_chunks = pl.cdiv(count, chunk)
-    px0 = (tx * tile).astype(jnp.float32)
-    py0 = (ty * tile).astype(jnp.float32)
 
-    def get_dma(slot, c_idx):
-        return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(pl.multiple_of(start + c_idx * chunk, align), chunk)],
-            scratch.at[slot],
-            sems.at[slot],
-        )
+    # tb tiles per grid step: the per-step machinery (block write pipeline, loop
+    # setup) measured ~2.2 us/tile on v5e (exp_r3d ZERO-counts probe, ~5.5 ms of
+    # the forward at 2500 tiles); batching amortizes it 1/tb.
+    for j in range(tb):
+        t = pl.program_id(0) * tb + j
+        tx = t % grid_x
+        ty = t // grid_x
+        start = starts_ref[t]
+        count = counts_ref[t]
+        n_chunks = pl.cdiv(count, chunk)
+        px0 = (tx * tile).astype(jnp.float32)
+        py0 = (ty * tile).astype(jnp.float32)
 
-    @pl.when(n_chunks > 0)
-    def _():
-        get_dma(0, 0).start()
+        def get_dma(slot, c_idx, start=start):
+            return pltpu.make_async_copy(
+                feat_hbm.at[:, pl.ds(pl.multiple_of(start + c_idx * chunk, align), chunk)],
+                scratch.at[slot],
+                sems.at[slot],
+            )
 
-    def body(carry):
-        c_idx, _, log_praw, acc, log_tfin = carry
-        slot = jnp.remainder(c_idx, 2)
-
-        get_dma(slot, c_idx).wait()
-        rows = scratch[slot]
-        valid_len = count - c_idx * chunk
-        alpha, _ = _chunk_alpha(rows, valid_len, tile, px0, py0, chunk)
-        log1m = jnp.log(1.0 - alpha)
-        log_praw_new = jnp.maximum(log_praw + jnp.sum(log1m, axis=1, keepdims=True),
-                                   NEG_LOG_EPS)
-
-        # Prefetch the next chunk only if the loop will actually continue —
-        # exiting with an un-awaited DMA in flight is undefined behavior. Deciding
-        # after the (cheap) alpha pass still overlaps the DMA with the matmuls.
-        cont = (c_idx + 1 < n_chunks) & (jnp.max(log_praw_new) >= jnp.log(T_EPS))
-
-        @pl.when(cont)
+        @pl.when(n_chunks > 0)
         def _():
-            get_dma(jnp.remainder(c_idx + 1, 2), c_idx + 1).start()
+            get_dma(0, 0).start()
 
-        excl = _prefix_exact(log1m, True) + log_praw
-        log_p_inc = excl + log1m
-        include = log_p_inc >= jnp.log(T_EPS)
-        w = jnp.where(include, alpha * jnp.exp(excl), 0.0)      # [P, CHUNK]
+        def body(carry, count=count, n_chunks=n_chunks, px0=px0, py0=py0,
+                 get_dma=get_dma):
+            c_idx, _, log_praw, acc, log_tfin = carry
+            slot = jnp.remainder(c_idx, 2)
 
-        colors = rows[6 : 6 + channels, :]                       # [C, CHUNK]
-        acc = acc + _contract_lanes(w, colors)                   # [P, C]
-        log_tfin = log_tfin + jnp.sum(jnp.where(include, log1m, 0.0), axis=1, keepdims=True)
-        return c_idx + 1, cont, log_praw_new, acc, log_tfin
+            get_dma(slot, c_idx).wait()
+            rows = scratch[slot]
+            valid_len = count - c_idx * chunk
+            alpha, _ = _chunk_alpha(rows, valid_len, tile, px0, py0, chunk)
+            log1m = jnp.log(1.0 - alpha)
+            log_praw_new = jnp.maximum(log_praw + jnp.sum(log1m, axis=1, keepdims=True),
+                                       NEG_LOG_EPS)
 
-    def cond(carry):
-        _, cont, _, _, _ = carry
-        return cont
+            # Prefetch the next chunk only if the loop will actually continue —
+            # exiting with an un-awaited DMA in flight is undefined behavior. Deciding
+            # after the (cheap) alpha pass still overlaps the DMA with the matmuls.
+            cont = (c_idx + 1 < n_chunks) & (jnp.max(log_praw_new) >= jnp.log(T_EPS))
 
-    init = (
-        jnp.int32(0),
-        n_chunks > 0,
-        jnp.zeros((P, 1), jnp.float32),
-        jnp.zeros((P, channels), jnp.float32),
-        jnp.zeros((P, 1), jnp.float32),
-    )
-    _, _, _, acc, log_tfin = jax.lax.while_loop(cond, body, init)
-    out_ref[0] = acc
-    tfin_ref[0] = jnp.exp(log_tfin)
+            @pl.when(cont)
+            def _():
+                get_dma(jnp.remainder(c_idx + 1, 2), c_idx + 1).start()
+
+            excl = _prefix_exact(log1m, True) + log_praw
+            log_p_inc = excl + log1m
+            include = log_p_inc >= jnp.log(T_EPS)
+            w = jnp.where(include, alpha * jnp.exp(excl), 0.0)      # [P, CHUNK]
+
+            colors = rows[6 : 6 + channels, :]                       # [C, CHUNK]
+            acc = acc + _contract_lanes(w, colors)                   # [P, C]
+            log_tfin = log_tfin + jnp.sum(jnp.where(include, log1m, 0.0), axis=1, keepdims=True)
+            return c_idx + 1, cont, log_praw_new, acc, log_tfin
+
+        def cond(carry):
+            _, cont, _, _, _ = carry
+            return cont
+
+        init = (
+            jnp.int32(0),
+            n_chunks > 0,
+            jnp.zeros((P, 1), jnp.float32),
+            jnp.zeros((P, channels), jnp.float32),
+            jnp.zeros((P, 1), jnp.float32),
+        )
+        _, _, _, acc, log_tfin = jax.lax.while_loop(cond, body, init)
+        out_ref[j] = acc
+        tfin_ref[j] = jnp.exp(log_tfin)
 
 
 def composite_forward_pallas(feat_t, tile_start, tile_count, bg, *, grid_x, grid_y,
                              channels, tile=16, chunk=256, interpret=False,
-                             align=None):
+                             align=None, tiles_per_step=4):
     """feat_t: [F_pad, D_aligned] transposed entry features with chunk-aligned tile
     segments. Returns (tiles_rgb [T, P, C], tiles_tfin [T, P])."""
     f_pad, D = feat_t.shape
     num_tiles = grid_x * grid_y
     P = tile * tile
+    tb = max(1, tiles_per_step)
+    t_pad = ((num_tiles + tb - 1) // tb) * tb
+    if t_pad != num_tiles:
+        # Padding tiles carry count 0 (no DMA, immediate loop exit) and an
+        # in-range start.
+        tile_start = jnp.concatenate(
+            [tile_start, jnp.zeros((t_pad - num_tiles,), tile_start.dtype)])
+        tile_count = jnp.concatenate(
+            [tile_count, jnp.zeros((t_pad - num_tiles,), tile_count.dtype)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(t_pad // tb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, P, channels), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, P, channels), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, P, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, f_pad, chunk), jnp.float32),
@@ -243,17 +258,18 @@ def composite_forward_pallas(feat_t, tile_start, tile_count, bg, *, grid_x, grid
     )
     kernel = functools.partial(_fwd_kernel, tile=tile, chunk=chunk,
                                channels=channels, f_pad=f_pad, grid_x=grid_x,
-                               align=align or chunk)
+                               align=align or chunk, tb=tb)
     tiles_rgb, tiles_tfin = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, P, channels), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, P, channels), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, P, 1), jnp.float32),
         ],
         interpret=interpret,
     )(tile_start, tile_count, feat_t)
-    tiles_tfin = tiles_tfin[..., 0]
+    tiles_rgb = tiles_rgb[:num_tiles]
+    tiles_tfin = tiles_tfin[:num_tiles, ..., 0]
     tiles_rgb = tiles_rgb + tiles_tfin[..., None] * bg[None, None, :]
     return tiles_rgb, tiles_tfin
 
@@ -264,8 +280,20 @@ def composite_forward_pallas(feat_t, tile_start, tile_count, bg, *, grid_x, grid
 def _bwd_kernel(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
                 tfin_ref, dfeat_hbm, scratch, out_scratch, carry_vmem, sems,
                 out_sems, done_smem, *, tile, chunk, channels, f_pad, grid_x,
-                align):
-    t = pl.program_id(0)
+                align, tb):
+    for j in range(tb):
+        _bwd_one_tile(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref,
+                      b_ref, tfin_ref, dfeat_hbm, scratch, out_scratch,
+                      carry_vmem, sems, out_sems, done_smem, j, tile=tile,
+                      chunk=chunk, channels=channels, f_pad=f_pad,
+                      grid_x=grid_x, align=align, tb=tb)
+
+
+def _bwd_one_tile(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
+                  tfin_ref, dfeat_hbm, scratch, out_scratch, carry_vmem, sems,
+                  out_sems, done_smem, j, *, tile, chunk, channels, f_pad,
+                  grid_x, align, tb):
+    t = pl.program_id(0) * tb + j
     tx = t % grid_x
     ty = t // grid_x
     start = starts_ref[t]
@@ -277,10 +305,10 @@ def _bwd_kernel(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
     basis = tile_pixel_basis(tile)
     basisT3 = jnp.concatenate([basis.T] * 3, axis=1).astype(jnp.bfloat16)  # [6, 3P]
 
-    gbar = gbar_ref[0]        # [P, C]
-    total = total_ref[0]      # [P, 1]
-    B = b_ref[0]              # [P, 1]
-    tfin = tfin_ref[0]        # [P, 1]
+    gbar = gbar_ref[j]        # [P, C]
+    total = total_ref[j]      # [P, 1]
+    B = b_ref[j]              # [P, 1]
+    tfin = tfin_ref[j]        # [P, 1]
 
     def get_dma(slot, c_idx):
         return pltpu.make_async_copy(
@@ -427,7 +455,7 @@ def _bwd_kernel(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
 def composite_backward_pallas(feat_t, tile_start, tile_count, bg, tiles_rgb,
                               tiles_tfin, g_tiles, g_tfin, *, grid_x, grid_y,
                               channels, tile=16, chunk=256, interpret=False,
-                              align=None):
+                              align=None, tiles_per_step=4):
     """Analytic backward on TPU. Returns (d_feat_t [F_pad, D], d_bg [C]).
 
     Args:
@@ -444,15 +472,30 @@ def composite_backward_pallas(feat_t, tile_start, tile_count, bg, tiles_rgb,
     B = g_tiles @ bg + g_tfin
     d_bg = jnp.einsum("tp,tpc->c", tiles_tfin, g_tiles)
 
+    tb = max(1, tiles_per_step)
+    t_pad = ((num_tiles + tb - 1) // tb) * tb
+    if t_pad != num_tiles:
+        pad = t_pad - num_tiles
+        tile_start = jnp.concatenate(
+            [tile_start, jnp.zeros((pad,), tile_start.dtype)])
+        tile_count = jnp.concatenate(
+            [tile_count, jnp.zeros((pad,), tile_count.dtype)])
+        padt = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        g_tiles, total, B, tiles_tfin_p = (padt(g_tiles), padt(total), padt(B),
+                                           padt(tiles_tfin))
+    else:
+        tiles_tfin_p = tiles_tfin
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(t_pad // tb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                       # feat_t
-            pl.BlockSpec((1, P, channels), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, P, channels), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, P, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, P, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, P, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -466,7 +509,7 @@ def composite_backward_pallas(feat_t, tile_start, tile_count, bg, tiles_rgb,
     )
     kernel = functools.partial(_bwd_kernel, tile=tile, chunk=chunk,
                                channels=channels, f_pad=f_pad, grid_x=grid_x,
-                               align=align or chunk)
+                               align=align or chunk, tb=tb)
     d_feat_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -475,6 +518,6 @@ def composite_backward_pallas(feat_t, tile_start, tile_count, bg, tiles_rgb,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         tile_start, tile_count, feat_t, g_tiles,
-        total[..., None], B[..., None], tiles_tfin[..., None],
+        total[..., None], B[..., None], tiles_tfin_p[..., None],
     )
     return d_feat_t, d_bg

@@ -19,6 +19,7 @@ class PallasCompositeConfig(NamedTuple):
     chunk: int = 256
     interpret: bool = False
     align: int = 256   # tile-segment alignment quantum (<= chunk, multiple of 128)
+    tiles_per_step: int = 4  # tiles per Pallas grid step (amortizes ~2.2us/step)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -28,6 +29,7 @@ def composite_tiles_pallas(feat_t, tile_start, tile_count, bg, cfg: PallasCompos
         feat_t, tile_start, tile_count, bg,
         grid_x=cfg.grid_x, grid_y=cfg.grid_y, channels=cfg.channels, tile=cfg.tile,
         chunk=cfg.chunk, interpret=cfg.interpret, align=cfg.align,
+        tiles_per_step=cfg.tiles_per_step,
     )
 
 
@@ -43,6 +45,7 @@ def _bwd(cfg, res, cots):
         feat_t, tile_start, tile_count, bg, tiles_rgb, tiles_tfin, g_tiles, g_tfin,
         grid_x=cfg.grid_x, grid_y=cfg.grid_y, channels=cfg.channels, tile=cfg.tile,
         chunk=cfg.chunk, interpret=cfg.interpret, align=cfg.align,
+        tiles_per_step=cfg.tiles_per_step,
     )
     # Columns past the last tile segment are never written by the kernel
     # (uninitialized memory) — mask them before the gather-transpose scatters

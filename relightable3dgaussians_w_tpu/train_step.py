@@ -210,7 +210,8 @@ class TrainFns(NamedTuple):
 
 
 def make_train_fns(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig,
-                   split_dispatch: bool = False) -> TrainFns:
+                   split_dispatch: bool = False,
+                   sub_split_b: bool | None = None) -> TrainFns:
     """Build the jitted step functions for a fixed (mlp, config, raster-config).
 
     split_dispatch=True runs the step as THREE dispatches (leaf inputs; rasterize +
@@ -282,6 +283,20 @@ def make_train_fns(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig,
     def _stage_a(params, gauss_state, cam, cam_uid, key):
         return make_leaf_inputs(params, gauss_state, mlp, cam, cam_uid, key, cfg)
 
+    def _stage_b(inp, envlight_sh, gauss_state, cam, gt_image, sky_mask,
+                 occluders_mask, key, step, bg_color):
+        n = gauss_state.alive.shape[0]
+        probe = jnp.zeros((n, 2))
+
+        def f(inp, envlight_sh, probe):
+            return core_loss(inp, envlight_sh, gauss_state, probe, cam, gt_image,
+                             sky_mask, occluders_mask, key, step, cfg, rcfg,
+                             bg_color)
+
+        (loss, aux), grads = jax.value_and_grad(
+            f, argnums=(0, 1, 2), has_aux=True)(inp, envlight_sh, probe)
+        return loss, aux, grads
+
     def _stage_b1(inp: RenderInputs, gauss_state, cam: CameraMatrices):
         from .ops.preprocess import preprocess
 
@@ -333,13 +348,26 @@ def make_train_fns(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig,
         return _apply_update(state, param_grads, probe_grad, loss, aux)
 
     jit_a = jax.jit(_stage_a)
+    jit_b = jax.jit(_stage_b)
     jit_b1 = jax.jit(_stage_b1)
     jit_b2 = jax.jit(_stage_b2)
     jit_b3 = jax.jit(_stage_b3)
     jit_c = jax.jit(_stage_c)
 
-    def _train_step_split(state: TrainState, cam: CameraMatrices, gt_image,
-                          sky_mask, occluders_mask, cam_uid, key, bg_color):
+    if sub_split_b is None:
+        import os as _os
+        sub_split_b = _os.environ.get("TRAIN_SPLIT_B", "0") == "1"
+
+    def _train_step_split3(state: TrainState, cam: CameraMatrices, gt_image,
+                           sky_mask, occluders_mask, cam_uid, key, bg_color):
+        inp, envl = jit_a(state.params, state.gauss_state, cam, cam_uid, key)
+        loss, aux, (d_inp, d_envl, probe_grad) = jit_b(
+            inp, envl, state.gauss_state, cam, gt_image, sky_mask,
+            occluders_mask, key, state.step, bg_color)
+        return jit_c(state, cam, cam_uid, key, d_inp, d_envl, probe_grad, loss, aux)
+
+    def _train_step_split5(state: TrainState, cam: CameraMatrices, gt_image,
+                           sky_mask, occluders_mask, cam_uid, key, bg_color):
         inp, envl = jit_a(state.params, state.gauss_state, cam, cam_uid, key)
         pre = jit_b1(inp, state.gauss_state, cam)
         loss, aux, (d_m2d, d_conic, d_depth, d_op, d_colors, d_scales_direct,
@@ -354,6 +382,8 @@ def make_train_fns(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig,
         # added to pre.mean2d inside the rasterizer, and mean2d's only other
         # consumers (tile rects) are derivative-dead floor/int chains.
         return jit_c(state, cam, cam_uid, key, d_inp, d_envl, d_m2d, loss, aux)
+
+    _train_step_split = _train_step_split5 if sub_split_b else _train_step_split3
 
     def _densify(state: TrainState, key, grad_threshold, extent, max_screen_size):
         adam_state = state.opt_state

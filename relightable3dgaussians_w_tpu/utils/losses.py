@@ -46,23 +46,31 @@ def _blur(img: jnp.ndarray, win: jnp.ndarray, window_size: int) -> jnp.ndarray:
     """Depthwise separable 11x11 Gaussian blur with 'same' zero padding.
 
     The reference uses a full 2D window that is the outer product of the 1D Gaussian
-    (loss_utils.py:47-51), so two separable 1D convs are mathematically identical.
+    (loss_utils.py:47-51), so two separable 1D passes are mathematically identical.
     img: [C, H, W].
+
+    Implemented as SHIFTED ADDS (11 slice+fma per axis) instead of
+    conv_general_dilated: every product/add is elementwise f32, so SSIM's
+    variance terms (sigma^2 = E[x^2] - mu^2, catastrophic cancellation) keep
+    full precision on TPU — the default bf16 conv cost ~11 dB of training PSNR,
+    while an f32-precision conv lowers ~75 ms/step slower at 800^2 on v5e
+    (exp_r3e bisection). The unrolled fma chain is both exact and fast.
     """
     pad = window_size // 2
-    x = img[:, None]  # [C, 1, H, W]: channels ride the batch dim, 1 feature
-    kh = win.reshape(1, 1, window_size, 1)
-    kw = win.reshape(1, 1, 1, window_size)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    # f32 convs: TPU's default bf16 contraction destroys SSIM's variances
-    # (sigma^2 = E[x^2] - mu^2 cancels catastrophically at 2^-8 products) —
-    # diagnosed via the r3 TPU selfcheck leg (22.6 dB vs 34.0 on CPU).
-    HI = jax.lax.Precision.HIGHEST
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)],
-                                     dimension_numbers=dn, precision=HI)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)],
-                                     dimension_numbers=dn, precision=HI)
-    return x[:, 0]
+
+    def pass_along(x, axis):
+        padw = [(0, 0)] * x.ndim
+        padw[axis] = (pad, pad)
+        xp = jnp.pad(x, padw)
+        n = x.shape[axis]
+        acc = None
+        for k in range(window_size):
+            sl = jax.lax.slice_in_dim(xp, k, k + n, axis=axis)
+            term = win[k] * sl
+            acc = term if acc is None else acc + term
+        return acc
+
+    return pass_along(pass_along(img, 1), 2)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11, mask: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -12,6 +12,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Toggleable for perf bisection; f32 is the correctness default (see eval_sh).
+EVAL_SH_PRECISION = jax.lax.Precision.HIGHEST
+
 # Real SH basis constants Y_lm in Cartesian form (l<=5). Same numerical constants as
 # the standard tables used by the reference (`utils/sh_utils.py:35-77`,
 # cuda_rasterizer/auxiliary.h:22-39); degree-5 values follow Sloan, "Stupid SH Tricks".
@@ -151,7 +154,7 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     # gradients; TPU's default bf16 einsum costs ~0.4% per-color noise that
     # compounds through training (r3 TPU selfcheck leg).
     return jnp.einsum("...cn,...n->...c", sh[..., :n], basis,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=EVAL_SH_PRECISION)
 
 
 def rgb_to_sh(rgb: jnp.ndarray) -> jnp.ndarray:

@@ -83,6 +83,7 @@ def main(n=500_000, res=800, iters=10):
     dt = (time.perf_counter() - t0) / iters
     print(f"train_step: {dt * 1e3:.2f} ms/iter  ({1.0 / dt:.2f} it/s)  "
           f"[fused render+shading+losses+adam, {n} Gaussians @ {res}x{res}]")
+    return dt * 1e3
 
 
 if __name__ == "__main__":

@@ -124,21 +124,26 @@ def test_split_dispatch_matches_fused():
                  sh_degree_sky=cfg.model.sky_sh_degree)
     rcfg = RasterizerConfig(width=64, height=64, max_dup=1 << 14,
                             max_tiles_per_gauss=32, lmax_per_tile=256, tile_chunk=4)
-    fns_split = make_train_fns(mlp, cfg, rcfg, split_dispatch=True)
-
     key = jax.random.PRNGKey(7)
     bg = jnp.zeros(3)
     s_f, aux_f = fns.train_step(tstate, cam, gt, sky, occ, jnp.asarray(0), key, bg)
-    s_s, aux_s = fns_split.train_step(tstate, cam, gt, sky, occ, jnp.asarray(0), key, bg)
 
-    np.testing.assert_allclose(float(aux_f.loss), float(aux_s.loss), rtol=1e-6)
-    for lf, ls in zip(jax.tree_util.tree_leaves(s_f.params),
-                      jax.tree_util.tree_leaves(s_s.params)):
-        np.testing.assert_allclose(np.asarray(lf), np.asarray(ls),
-                                   rtol=2e-4, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(s_f.gauss_state.xyz_grad_accum),
-                               np.asarray(s_s.gauss_state.xyz_grad_accum),
-                               rtol=2e-4, atol=1e-7)
+    # Both split variants (3-dispatch A/B/C and 5-dispatch with the preprocess
+    # outputs staged inside B) must match the fused step.
+    for sub in (False, True):
+        fns_split = make_train_fns(mlp, cfg, rcfg, split_dispatch=True,
+                                   sub_split_b=sub)
+        s_s, aux_s = fns_split.train_step(tstate, cam, gt, sky, occ,
+                                          jnp.asarray(0), key, bg)
+        np.testing.assert_allclose(float(aux_f.loss), float(aux_s.loss), rtol=1e-6)
+        for lf, ls in zip(jax.tree_util.tree_leaves(s_f.params),
+                          jax.tree_util.tree_leaves(s_s.params)):
+            np.testing.assert_allclose(np.asarray(lf), np.asarray(ls),
+                                       rtol=2e-4, atol=2e-6,
+                                       err_msg=f"sub_split_b={sub}")
+        np.testing.assert_allclose(np.asarray(s_f.gauss_state.xyz_grad_accum),
+                                   np.asarray(s_s.gauss_state.xyz_grad_accum),
+                                   rtol=2e-4, atol=1e-7)
 
 
 def test_densify_and_reset_opacity():
