@@ -285,14 +285,27 @@ def bin_gaussians_aligned(pre: PreprocessOut, grid_x: int, grid_y: int,
         # (7 bits per rect field, h implied by count = w*h).
         depth_key = jnp.where(counts > 0, pre.depth, jnp.inf)
         rect_h = jnp.maximum(pre.rect_max[:, 1] - pre.rect_min[:, 1], 1)
-        if grid_x < 128 and grid_y < 128:
+        if grid_x < 128 and grid_y < 128 and n < (1 << 24):
             packed = (pre.rect_min[:, 0].astype(jnp.uint32)
                       | (pre.rect_min[:, 1].astype(jnp.uint32) << 7)
                       | (rect_w.astype(jnp.uint32) << 14)
                       | (rect_h.astype(jnp.uint32) << 21))
-            dk_s, packed_s, oid_s = jax.lax.sort(
-                (depth_key, packed, jnp.arange(n, dtype=jnp.int32)),
-                num_keys=1, is_stable=True)
+            # Both u32 fields ride ONE c64 payload as f32 BIT PATTERNS (sort
+            # payload cost is per row, BENCH_LOG r2). Bit 30 is ORed in so the
+            # patterns are NORMAL floats: packed uses bits 0-27 and oid bits
+            # 0-23, so without the bias oid < 2^23 would be a DENORMAL and any
+            # flush-to-zero in the payload path would corrupt it; with bit 30
+            # set the exponent field can never be all-ones (bits 28-29 clear),
+            # so no NaN/Inf canonicalization either.
+            BIAS = jnp.uint32(1 << 30)
+            as_f = lambda u: jax.lax.bitcast_convert_type(u | BIAS, jnp.float32)
+            pair = jax.lax.complex(as_f(packed),
+                                   as_f(jnp.arange(n, dtype=jnp.uint32)))
+            dk_s, pair_s = jax.lax.sort((depth_key, pair), num_keys=1,
+                                        is_stable=True)
+            un_f = lambda f: jax.lax.bitcast_convert_type(f, jnp.uint32) & ~BIAS
+            packed_s = un_f(jnp.real(pair_s))
+            oid_s = un_f(jnp.imag(pair_s)).astype(jnp.int32)
             rx_s = (packed_s & 0x7F).astype(jnp.int32)
             ry_s = ((packed_s >> 7) & 0x7F).astype(jnp.int32)
             w_s = ((packed_s >> 14) & 0x7F).astype(jnp.int32)
