@@ -90,6 +90,8 @@ class RuntimeConfig:
     max_tiles_per_gauss: int = 64
     lmax_per_tile: int = 2048
     tile_chunk: int = 8
+    pallas_chunk: int = 512           # entries per streamed composite chunk
+                                      # (512 measured fastest at 800^2 on v5e)
     seed: int = 0
     mesh_shape: tuple = ()            # e.g. ("data", 4) — empty = single device
     use_pallas: bool = True           # Pallas tile kernels on TPU, jnp path elsewhere

@@ -176,7 +176,8 @@ class AlignedEntries(NamedTuple):
 
 
 def _expand_keys_xla(pre: PreprocessOut, counts, rect_w, n: int, max_dup: int,
-                     rank_bits: int, key_invalid, grid_x: int):
+                     rank_bits: int, key_invalid, grid_x: int,
+                     split_key: bool = False):
     """XLA twin of pallas/expand.py: scatter-marks + cummax slot map, 8-column table
     row-gather, elementwise key math (~43ms at 1M/4.2M on v5e — the expand kernel
     does the same join in ~1/6 the time; kept as the reference twin and the fallback
@@ -212,6 +213,10 @@ def _expand_keys_xla(pre: PreprocessOut, counts, rect_w, n: int, max_dup: int,
     q = jnp.where(r < 0, q - 1, jnp.where(r >= wg, q + 1, q))
     r = slot - q * wg
     tile = ((ry_g + q) * grid_x + rx_g + r).astype(jnp.uint32)
+    if split_key:
+        inval = jnp.uint32(0xFFFFFFFF)
+        return (jnp.where(valid, tile, inval),
+                jnp.where(valid, rank_g, inval), g, total)
     key_real = jnp.where(valid, (tile << rank_bits) | rank_g, key_invalid)
     return key_real, g, total
 
@@ -219,7 +224,8 @@ def _expand_keys_xla(pre: PreprocessOut, counts, rect_w, n: int, max_dup: int,
 def bin_gaussians_aligned(pre: PreprocessOut, grid_x: int, grid_y: int,
                           max_dup: int, chunk: int, interpret: bool = False,
                           use_expand_kernel: bool = True,
-                          slack: int = 512) -> AlignedEntries:
+                          slack: int = 512,
+                          force_split_key: bool = False) -> AlignedEntries:
     """One-sort binning that lands DIRECTLY in the chunk-aligned layout the Pallas
     kernels stream — replacing bin_gaussians + align_entries (which cost a second
     4.8M-entry re-index: scatter-marks, cummax, and two big gathers, ~75ms at 1M
@@ -232,8 +238,12 @@ def bin_gaussians_aligned(pre: PreprocessOut, grid_x: int, grid_y: int,
     before the next tile. One stable-keyed sort of [max_dup + num_tiles*chunk] keys
     then yields segments starting exactly at the precomputed chunk-aligned offsets.
 
-    Requires tile_bits + rank_bits <= 32 (single-u32-key packing); callers fall back
-    to bin_gaussians + align_entries otherwise.
+    Key packing: (tile << rank_bits) | rank as ONE u32 when the bits fit;
+    otherwise (pools >= ~1M at 800^2) tile and rank ride as TWO u32 keys through
+    a lexicographic 2-key sort — same aligned layout, ~30% more sort cost,
+    instead of falling back to the far slower bin_gaussians + align_entries
+    re-index (the r3 4M-Gaussian probe measured that fallback at 795 ms/iter).
+    Pool size must stay below 2^24 (the expansion tables carry ids as exact f32).
 
     Overflow semantics: if total entries exceed max_dup the drop happens pre-sort
     (keys forced to u32-max, sorting past every segment) while the histogram still
@@ -257,8 +267,10 @@ def bin_gaussians_aligned(pre: PreprocessOut, grid_x: int, grid_y: int,
 
     rank_bits = max(1, math.ceil(math.log2(n + 1)))  # reserve all-ones rank sentinel
     tile_bits = max(1, math.ceil(math.log2(num_tiles + 2)))
-    if rank_bits + tile_bits > 32:
-        raise ValueError("key bits exceed u32; use bin_gaussians + align_entries")
+    split_key = (rank_bits + tile_bits > 32) or force_split_key
+    if n >= (1 << 24):
+        raise ValueError("pool size >= 2^24: expansion tables carry ids as "
+                         "exact f32; shard the pool (parallel/gauss_shard.py)")
     rank_sentinel = jnp.uint32((1 << rank_bits) - 1)
     key_invalid = jnp.uint32(0xFFFFFFFF)
 
@@ -327,29 +339,51 @@ def bin_gaussians_aligned(pre: PreprocessOut, grid_x: int, grid_y: int,
              jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32)],
             axis=0,
         )
-        key_real, g = expand_entries(table_t, offs_f, total, max_dup, rank_bits,
-                                     grid_x, interpret=interpret)
+        out = expand_entries(table_t, offs_f, total, max_dup, rank_bits,
+                             grid_x, interpret=interpret, split_key=split_key)
+        if split_key:
+            tile_real, rank_real, g = out
+        else:
+            key_real, g = out
     else:
-        key_real, g, total = _expand_keys_xla(pre, counts, rect_w, n, max_dup,
-                                              rank_bits, key_invalid, grid_x)
+        if split_key:
+            tile_real, rank_real, g, total = _expand_keys_xla(
+                pre, counts, rect_w, n, max_dup, rank_bits, key_invalid, grid_x,
+                split_key=True)
+        else:
+            key_real, g, total = _expand_keys_xla(pre, counts, rect_w, n,
+                                                  max_dup, rank_bits,
+                                                  key_invalid, grid_x)
 
     # --- pad entries: expansion over tiles (budget num_tiles * chunk) ---
     pad_t = (seg - tile_count).astype(jnp.int32)  # clamped count keeps pads in range
     t_pad, _, total_pad = _expand_by_counts(pad_t, pad_budget)
     valid_pad = jnp.arange(pad_budget, dtype=jnp.int32) < total_pad
-    key_pad = jnp.where(
-        valid_pad, (t_pad.astype(jnp.uint32) << rank_bits) | rank_sentinel,
-        key_invalid)
-
-    keys = jnp.concatenate([key_real, key_pad])
     gids = jnp.concatenate([g, jnp.zeros((pad_budget,), jnp.int32)])
-    sorted_keys, sorted_gauss = jax.lax.sort((keys, gids), num_keys=1)
 
-    # valid = the sorted key is a REAL entry: pads carry the all-ones rank sentinel
-    # and budget-invalid keys are u32-max (rank bits also all-ones), so one low-bits
-    # compare on the sorted keys replaces a 4.4M-slot scatter-marks/cummax lane->tile
-    # map + two table gathers (~35ms at 1M Gaussians on v5e).
-    valid = (sorted_keys & rank_sentinel) != rank_sentinel
+    if split_key:
+        # Lexicographic (tile, rank) 2-key sort: pads carry rank = u32-max (sort
+        # after every real entry of their tile), budget-invalid rows u32-max in
+        # BOTH keys (sort after every tile's segment).
+        key1_pad = jnp.where(valid_pad, t_pad.astype(jnp.uint32), key_invalid)
+        key2_pad = jnp.full((pad_budget,), 0xFFFFFFFF, jnp.uint32)
+        keys1 = jnp.concatenate([tile_real, key1_pad])
+        keys2 = jnp.concatenate([rank_real, key2_pad])
+        _, sorted_rank, sorted_gauss = jax.lax.sort((keys1, keys2, gids),
+                                                    num_keys=2)
+        valid = sorted_rank != jnp.uint32(0xFFFFFFFF)
+    else:
+        key_pad = jnp.where(
+            valid_pad, (t_pad.astype(jnp.uint32) << rank_bits) | rank_sentinel,
+            key_invalid)
+        keys = jnp.concatenate([key_real, key_pad])
+        sorted_keys, sorted_gauss = jax.lax.sort((keys, gids), num_keys=1)
+
+        # valid = the sorted key is a REAL entry: pads carry the all-ones rank
+        # sentinel and budget-invalid keys are u32-max (rank bits also all-ones),
+        # so one low-bits compare on the sorted keys replaces a 4.4M-slot
+        # scatter-marks/cummax lane->tile map + two table gathers (~35ms at 1M).
+        valid = (sorted_keys & rank_sentinel) != rank_sentinel
     return AlignedEntries(
         gauss_id=sorted_gauss,
         valid=valid,

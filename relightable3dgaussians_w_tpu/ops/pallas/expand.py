@@ -55,8 +55,9 @@ def _split3(x):
     return jnp.concatenate([hi, mid, lo], axis=0)
 
 
-def _expand_kernel(g0s_ref, total_ref, tbl_hbm, keys_ref, gid_ref,
-                   scr, sems, b_smem, *, rank_bits, grid_x, n_super):
+def _expand_kernel(g0s_ref, total_ref, tbl_hbm, keys_ref, gid_ref, rank_ref,
+                   scr, sems, b_smem, *, rank_bits, grid_x, n_super,
+                   split_key):
     c = pl.program_id(0)
     total = total_ref[0].astype(jnp.float32)
 
@@ -122,8 +123,17 @@ def _expand_kernel(g0s_ref, total_ref, tbl_hbm, keys_ref, gid_ref,
         tile = (ry + q) * jnp.float32(grid_x) + rx + r      # exact, < 2^24
 
         valid = slots < total
-        key = (tile.astype(jnp.int32) << rank_bits) | rank.astype(jnp.int32)
-        keys_ref[0, :, i:i + 1] = jnp.where(valid, key, jnp.int32(-1))
+        if split_key:
+            # Pool too large for (tile << rank_bits) | rank to fit u32: emit the
+            # tile and rank as SEPARATE u32 sort keys (lexicographic 2-key sort
+            # downstream). Invalid slots carry all-ones in both.
+            keys_ref[0, :, i:i + 1] = jnp.where(valid, tile.astype(jnp.int32),
+                                                jnp.int32(-1))
+            rank_ref[0, :, i:i + 1] = jnp.where(valid, rank.astype(jnp.int32),
+                                                jnp.int32(-1))
+        else:
+            key = (tile.astype(jnp.int32) << rank_bits) | rank.astype(jnp.int32)
+            keys_ref[0, :, i:i + 1] = jnp.where(valid, key, jnp.int32(-1))
         gid_ref[0, :, i:i + 1] = jnp.where(valid, oid.astype(jnp.int32), 0)
 
     @pl.when(c == n_super - 1)
@@ -134,7 +144,7 @@ def _expand_kernel(g0s_ref, total_ref, tbl_hbm, keys_ref, gid_ref,
 
 def expand_entries(table_t: jnp.ndarray, offs_live: jnp.ndarray, total: jnp.ndarray,
                    max_dup: int, rank_bits: int, grid_x: int,
-                   interpret: bool = False):
+                   interpret: bool = False, split_key: bool = False):
     """Expand depth-ranked rows into per-slot (key, gauss_id).
 
     Args:
@@ -144,9 +154,14 @@ def expand_entries(table_t: jnp.ndarray, offs_live: jnp.ndarray, total: jnp.ndar
         offs_live: [N] f32 the offs row (for the host-side window starts).
         total: [] int32 number of real entries.
         max_dup: static slot budget; must be a multiple of 4096.
+        split_key: when the packed (tile || rank) key exceeds 32 bits (pools
+            >= ~1M at 800^2: rank_bits + tile_bits > 32), emit tile and rank as
+            separate u32 keys for a lexicographic 2-key sort.
     Returns:
-        keys [max_dup] uint32 ((tile << rank_bits) | rank, 0xFFFFFFFF when invalid),
-        gid [max_dup] int32.
+        split_key=False: (keys [max_dup] uint32 = (tile << rank_bits) | rank,
+            0xFFFFFFFF when invalid; gid [max_dup] int32).
+        split_key=True: (tile_keys, rank_keys, gid) — u32/u32/int32, invalid
+            slots all-ones in both key arrays.
     """
     if max_dup % SUPER != 0:
         raise ValueError(f"max_dup must be a multiple of {SUPER}")
@@ -168,16 +183,13 @@ def expand_entries(table_t: jnp.ndarray, offs_live: jnp.ndarray, total: jnp.ndar
            .astype(jnp.int32) - 1)
     g0s = jnp.maximum(g0s, 0)
 
+    blk = lambda: pl.BlockSpec((1, SC, sub_per), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_super,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[
-            pl.BlockSpec((1, SC, sub_per), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SC, sub_per), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[blk(), blk(), blk()],
         scratch_shapes=[
             pltpu.VMEM((3, 8, BLOCK), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
@@ -185,17 +197,18 @@ def expand_entries(table_t: jnp.ndarray, offs_live: jnp.ndarray, total: jnp.ndar
         ],
     )
     kernel = functools.partial(_expand_kernel, rank_bits=rank_bits, grid_x=grid_x,
-                               n_super=n_super)
-    keys, gid = pl.pallas_call(
+                               n_super=n_super, split_key=split_key)
+    out_sh = jax.ShapeDtypeStruct((n_super, SC, sub_per), jnp.int32)
+    keys, gid, rank = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_super, SC, sub_per), jnp.int32),
-            jax.ShapeDtypeStruct((n_super, SC, sub_per), jnp.int32),
-        ],
+        out_shape=[out_sh, out_sh, out_sh],
         interpret=interpret,
     )(g0s, total[None], tbl)
     # Slot (c, i, s) lives at keys[c, s, i]: transpose back to slot-major.
-    keys = keys.transpose(0, 2, 1).reshape(max_dup)
+    u32 = lambda a: jax.lax.bitcast_convert_type(
+        a.transpose(0, 2, 1).reshape(max_dup), jnp.uint32)
     gid = gid.transpose(0, 2, 1).reshape(max_dup)
-    return jax.lax.bitcast_convert_type(keys, jnp.uint32), gid
+    if split_key:
+        return u32(keys), u32(rank), gid
+    return u32(keys), gid

@@ -175,10 +175,13 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
                 cam.tan_fovy, cfg.width, cfg.height, cfg.tile, cfg.scale_modifier,
                 cov3d_precomp, active, opacities,
             )
-        one_key = (math.ceil(math.log2(n + 1))
-                   + math.ceil(math.log2(num_tiles + 2))) <= 32
+        # The aligned one-sort binning handles any pool below 2^24 (single-u32
+        # key when the bits fit, lexicographic 2-key sort otherwise); beyond
+        # that the expansion tables lose f32 exactness — fall back to the
+        # two-sort path (or shard the pool, parallel/gauss_shard.py).
+        use_aligned = n < (1 << 24)
         align = min(cfg.align_chunk, cfg.pallas_chunk)
-        if one_key:
+        if use_aligned:
             # Single sort lands directly in the chunk-aligned layout.
             aligned = bin_gaussians_aligned(pre, cfg.grid_x, cfg.grid_y,
                                             cfg.max_dup, align,

@@ -129,6 +129,7 @@ class Relightable3DGWTrainer:
             max_tiles_per_gauss=cfg.runtime.max_tiles_per_gauss,
             lmax_per_tile=cfg.runtime.lmax_per_tile,
             tile_chunk=cfg.runtime.tile_chunk,
+            pallas_chunk=cfg.runtime.pallas_chunk,
             use_pallas=cfg.runtime.use_pallas and jax.default_backend() == "tpu",
         )
         self.fns = make_train_fns(self.mlp, cfg, self.rcfg,

@@ -50,7 +50,8 @@ def main(n=500_000, res=800, iters=10):
 
     rcfg = RasterizerConfig(width=res, height=res, max_dup=max_dup,
                             max_tiles_per_gauss=0, lmax_per_tile=4096, tile_chunk=8,
-                            use_pallas=use_pallas)
+                            use_pallas=use_pallas,
+                            pallas_chunk=int(os.environ.get("TRAIN_BENCH_CHUNK", 512)))
     cfg = Config()
     mlp = MLPNet()
     k = jax.random.PRNGKey(0)
