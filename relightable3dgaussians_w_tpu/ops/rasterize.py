@@ -25,8 +25,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-import math
-
 from .preprocess import preprocess, PreprocessOut
 from .binning import bin_gaussians, bin_gaussians_aligned, align_entries, BinningOut
 from .composite import CompositeConfig, composite_tiles, composite_tiles_autodiff

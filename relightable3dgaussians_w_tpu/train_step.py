@@ -354,9 +354,12 @@ def make_train_fns(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig,
     jit_b3 = jax.jit(_stage_b3)
     jit_c = jax.jit(_stage_c)
 
+    # Default ON: with the shifted-add SSIM blur, staging the preprocess outputs
+    # inside stage B measures 104.5 -> 99.0 ms/iter at 500k/800^2 on v5e
+    # (BENCH_LOG r3; it was neutral only while the conv-pin regression masked it).
     if sub_split_b is None:
         import os as _os
-        sub_split_b = _os.environ.get("TRAIN_SPLIT_B", "0") == "1"
+        sub_split_b = _os.environ.get("TRAIN_SPLIT_B", "1") == "1"
 
     def _train_step_split3(state: TrainState, cam: CameraMatrices, gt_image,
                            sky_mask, occluders_mask, cam_uid, key, bg_color):
