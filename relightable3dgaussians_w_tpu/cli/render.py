@@ -39,8 +39,29 @@ def depth_colormap(depth: np.ndarray) -> np.ndarray:
     return cm.get_cmap("viridis")(d)[..., :3].astype(np.float32)
 
 
+def make_eval_raster_fn(rcfg):
+    """Multi-device eval rendering: shard each frame's tile rows over the
+    available devices (parallel.tile_parallel — a bitwise-equal decomposition).
+    Returns None on a single device or when grid_y has no usable divisor."""
+    n = len(jax.devices())
+    if n <= 1:
+        return None
+    gy = rcfg.grid_y
+    d = max(k for k in range(1, n + 1) if gy % k == 0)
+    if d <= 1:
+        return None
+    from ..parallel.mesh import make_mesh
+    from ..parallel.tile_parallel import make_tile_parallel_raster_fn
+
+    mesh = make_mesh(data=d)
+    print(f"render: tile-parallel over {d} devices ({gy // d} tile rows each)")
+    return make_tile_parallel_raster_fn(mesh, "data")
+
+
 def render_set(trainer, name: str, iteration: int, views, embeddings):
     from ..renderer import render as render_fn
+
+    raster_fn = make_eval_raster_fn(trainer.rcfg)
 
     base_dir = os.path.join(trainer.model_path, name, f"iteration_{iteration}")
     dirs = {k: os.path.join(base_dir, k) for k in
@@ -62,7 +83,7 @@ def render_set(trainer, name: str, iteration: int, views, embeddings):
                         envlight_sh_degree=cfg.model.envlight_sh_degree,
                         sky_sh_degree=cfg.model.sky_sh_degree,
                         specular=cfg.model.specular, fix_sky=cfg.model.fix_sky,
-                        debug=True)
+                        debug=True, raster_fn=raster_fn)
         return out, envl[0], sky_sh[0]
 
     for i, view in enumerate(views):

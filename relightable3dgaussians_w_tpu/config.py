@@ -93,7 +93,11 @@ class RuntimeConfig:
     pallas_chunk: int = 512           # entries per streamed composite chunk
                                       # (512 measured fastest at 800^2 on v5e)
     seed: int = 0
-    mesh_shape: tuple = ()            # e.g. ("data", 4) — empty = single device
+    data_parallel: int = 0            # devices on the `data` (camera-batch) mesh
+                                      # axis; 0/1 = single-device reference loop
+    gauss_shards: int = 1             # devices on the `gauss` (pool-rows) axis;
+                                      # >1 shards the pool + Adam moments and
+                                      # renders via the tile-ownership all-to-all
     use_pallas: bool = True           # Pallas tile kernels on TPU, jnp path elsewhere
     split_dispatch: bool = True       # 3-dispatch train step (see train_step.py) —
                                       # ~2x faster on v5e; identical gradients

@@ -92,11 +92,40 @@ def lpips(img1: jnp.ndarray, img2: jnp.ndarray, weights: dict) -> jnp.ndarray:
     return total
 
 
+def _expected_schema() -> dict:
+    """Exact npz contract for _lpips_vgg16.npz (torch OIHW conv shapes)."""
+    schema = {}
+    in_ch = 3
+    for li, out_ch in VGG16_CONVS:
+        schema[f"feats.{li}.weight"] = (out_ch, in_ch, 3, 3)
+        schema[f"feats.{li}.bias"] = (out_ch,)
+        in_ch = out_ch
+    for k, ch in enumerate([64, 128, 256, 512, 512]):
+        schema[f"lins.{k}.weight"] = (1, ch, 1, 1)
+    return schema
+
+
+EXPECTED_SCHEMA = _expected_schema()
+
+
+def validate_weights(w: dict):
+    """Loudly reject an npz that doesn't match the LPIPS v0.1 (VGG) contract —
+    runs at conversion time (scripts/convert_lpips_weights.py) and at load."""
+    missing = sorted(set(EXPECTED_SCHEMA) - set(w))
+    if missing:
+        raise ValueError(f"LPIPS weights npz missing keys: {missing[:5]}...")
+    for k, shape in EXPECTED_SCHEMA.items():
+        got = tuple(np.shape(w[k]))
+        if got != shape:
+            raise ValueError(f"LPIPS weights: {k} has shape {got}, want {shape}")
+
+
 def make_lpips_fn(weights_path: str | None = None):
     """Returns a jitted lpips(img1, img2) or None if weights are unavailable."""
     if not available(weights_path):
         return None
     w = load_weights(weights_path)
+    validate_weights(w)
     return jax.jit(lambda a, b: lpips(a, b, w))
 
 

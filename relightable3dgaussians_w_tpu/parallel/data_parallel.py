@@ -161,25 +161,35 @@ def make_dp_train_step(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig, mesh: M
         # 3.5 dB behind per-image training (DP_AB_r02.json, VERDICT r2 item 3).
         adam = make_optimizer()
 
+        # Binning overflow poisons that image's gradients: reject its microstep
+        # in-graph (same contract as the single-device _apply_update,
+        # train_step.py) — params/moments keep their values, the step counter
+        # still advances for the lr schedule.
+        ok_b = auxs["overflow"] == 0
+
         def micro(carry, i):
             params, opt_state, step = carry
             g = jax.tree_util.tree_map(lambda a: a[i], param_grads_b)
-            updates, opt_state = adam.update(g, opt_state, params)
+            updates, new_opt_state = adam.update(g, opt_state, params)
             lrs = make_lr_tree(params, step, cfg.optimizer)
             updates = jax.tree_util.tree_map(lambda u, lr: -lr * u, updates, lrs)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state, step + 1), 0
+            new_params = optax.apply_updates(params, updates)
+            sel = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok_b[i], a, b), new, old)
+            return (sel(new_params, params), sel(new_opt_state, opt_state),
+                    step + 1), 0
 
         (new_params, new_opt_state, new_step), _ = jax.lax.scan(
             micro, (state.params, state.opt_state, state.step), jnp.arange(B))
 
         # Densification stats: per-image probe grads summed over the batch — the
         # same accumulation B sequential reference steps perform
-        # (gaussian_model.py:627-629).
-        ndc_grad = jnp.sum(probe_grad_b, axis=0) * jnp.asarray(
+        # (gaussian_model.py:627-629). Overflowed images contribute nothing.
+        ndc_grad = jnp.sum(
+            probe_grad_b * ok_b[:, None, None], axis=0) * jnp.asarray(
             [0.5 * rcfg.width, 0.5 * rcfg.height])
-        visible_any = jnp.any(auxs["visibility"], axis=0)
-        max_radii = jnp.max(auxs["radii"], axis=0)
+        visible_any = jnp.any(auxs["visibility"] & ok_b[:, None], axis=0)
+        max_radii = jnp.max(auxs["radii"] * ok_b[:, None], axis=0)
         new_gstate = G.add_densification_stats(state.gauss_state, ndc_grad,
                                                visible_any, max_radii)
 
@@ -188,6 +198,7 @@ def make_dp_train_step(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig, mesh: M
         new_state = TrainState(new_params, new_gstate, new_opt_state, new_step)
         metrics = dict(
             loss=jnp.mean(losses),
+            l1=jnp.mean(auxs["l1"]),
             psnr=jnp.mean(auxs["psnr"]),
             overflow=jnp.max(auxs["overflow"]),
             num_alive=G.num_alive(new_gstate),

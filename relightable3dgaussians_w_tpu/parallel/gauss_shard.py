@@ -37,6 +37,21 @@ from ..ops.preprocess import preprocess, PreprocessOut
 from ..ops.rasterize import CameraMatrices, RasterizerConfig, rasterize
 
 
+def pvary(x, axis_name):
+    """Promote a replicated value to device-varying over `axis_name`.
+
+    Every replicated value that feeds a custom-VJP function inside a shard_map
+    MUST be promoted first: the custom bwd rule computes its cotangent from
+    varying data, and strict varying-manual-axes checking (jax >= 0.9 lineage)
+    requires the cotangent's vma to match the primal input's. pvary's transpose
+    is psum over the axis, which is exactly the correct gradient semantics for
+    a replicated input (MULTICHIP_r03.json regression)."""
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        return pcast(x, axis_name, to="varying")
+    return jax.lax.pvary(x, axis_name)
+
+
 def _band_records(pre, opacities, colors, gid0, e, band_gy, tile, cap, n_loc):
     """Pack this shard's rows contributing to band `e` into a [cap, R] record
     buffer. Record layout: [mean2d(2) conic(3) op(1) colors(C) depth(1) gid(1)
@@ -169,7 +184,16 @@ def rasterize_gauss_sharded(means3d, scales, quats, opacities, colors, bg,
     has_probe = mean2d_probe is not None
     has_active = active is not None
 
-    def shard_fn(means3d, scales, quats, opacities, colors, extras):
+    def shard_fn(means3d, scales, quats, opacities, colors, bg, cam, extras):
+        # bg and the camera enter replicated (in_specs P()); promote them to
+        # gauss-varying BEFORE any compute so the custom-VJP bwd rules
+        # (composite_tiles' d_bg, ops/composite.py:302-306) return cotangents
+        # whose varying manual axes match their primal inputs. The promotion's
+        # transpose is a psum over `axis` — the correct reduction for a
+        # replicated input's gradient. Closure-capturing them instead leaves
+        # them unvarying and trips strict vma checking (MULTICHIP_r03.json).
+        bg = pvary(bg, axis)
+        cam = jax.tree_util.tree_map(lambda x: pvary(x, axis), cam)
         probe = extras.get("probe")
         act = extras.get("active")
         d = jax.lax.axis_index(axis)
@@ -201,8 +225,10 @@ def rasterize_gauss_sharded(means3d, scales, quats, opacities, colors, bg,
         quats0 = jnp.zeros((D * cap, 4), jnp.float32).at[:, 0].set(1.0)
         img, aux = rasterize(zeros3, jnp.ones_like(zeros3), quats0, op_b, col_b,
                              bg, cam, band_cfg, pre=pre_b)
+        # psum makes these replicated (vma drops `axis`) -> out_specs P().
         overflow = jax.lax.psum(sum(drops) + aux.overflow, axis)
-        return (img[None], aux.alpha[None], overflow[None],
+        num_entries = jax.lax.psum(aux.num_entries, axis)
+        return (img[None], aux.alpha[None], overflow, num_entries,
                 pre.radius, pre.depth)
 
     specs = P(axis)
@@ -214,11 +240,11 @@ def rasterize_gauss_sharded(means3d, scales, quats, opacities, colors, bg,
     extras_specs = {k: specs for k in extras}
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(specs, specs, specs, specs, specs, extras_specs),
-        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(specs, specs, specs, specs, specs, P(), P(), extras_specs),
+        out_specs=(P(axis), P(axis), P(), P(), P(axis), P(axis)),
     )
-    img_bands, alpha_bands, overflow, radii, depth = fn(
-        means3d, scales, quats, opacities, colors, extras)
+    img_bands, alpha_bands, overflow, num_entries, radii, depth = fn(
+        means3d, scales, quats, opacities, colors, bg, cam, extras)
     H, W = cfg.height, cfg.width
     image = img_bands.reshape(H, W, C)
     aux = RasterizeAux(
@@ -226,8 +252,8 @@ def rasterize_gauss_sharded(means3d, scales, quats, opacities, colors, bg,
         visibility=radii > 0,
         depth=depth,
         alpha=alpha_bands.reshape(H, W),
-        num_entries=overflow[0] * 0,   # not tracked globally; overflow is
-        overflow=overflow[0],
+        num_entries=num_entries,   # global: sum of per-band binning entries
+        overflow=overflow,
     )
     return image, aux
 

@@ -51,15 +51,21 @@ def _band_pre(pre, band_gy: int, tile: int, axis: str):
     )
 
 
-def render_tile_sharded(means3d, scales, quats, opacities, colors, bg,
-                        cam: CameraMatrices, cfg: RasterizerConfig, mesh: Mesh,
-                        axis: str = "data"):
-    """Render one image with tile rows sharded over `mesh.shape[axis]` devices.
+def rasterize_tile_sharded(means3d, scales, quats, opacities, colors, bg,
+                           cam: CameraMatrices, cfg: RasterizerConfig, mesh: Mesh,
+                           axis: str = "data", mean2d_probe=None, active=None):
+    """`rasterize` with one image's tile rows sharded over `mesh.shape[axis]`
+    devices — same (image, RasterizeAux) contract, so it drops into
+    `render_from_inputs(..., raster_fn=...)` (renderer.py) for multi-device
+    eval/render sweeps.
 
     The image height must make grid_y divisible by the axis size (pad the camera
-    height to a tile*n_devices multiple first). Returns (image [H, W, C], alpha
-    [H, W]) identical to single-device `rasterize`.
+    height to a tile*n_devices multiple first). The image is bitwise identical
+    to the single-device `rasterize` (band decomposition, module docstring).
     """
+    from ..ops.rasterize import RasterizeAux
+    from .gauss_shard import pvary
+
     ndev = mesh.shape[axis]
     gy = cfg.grid_y
     if gy % ndev != 0:
@@ -68,23 +74,66 @@ def render_tile_sharded(means3d, scales, quats, opacities, colors, bg,
     band_gy = gy // ndev
     band_cfg = cfg._replace(height=band_gy * cfg.tile,
                             max_dup=max(cfg.max_dup // ndev, 4096 * 4))
+    op1 = opacities[:, 0] if opacities.ndim == 2 else opacities
 
-    def band_render(means3d, scales, quats, opacities, colors, bg):
+    def band_render(means3d, scales, quats, opacities, colors, bg, extras):
+        # Replicated inputs feeding custom-VJP compute must be promoted to
+        # axis-varying so bwd cotangent vma matches (see gauss_shard.pvary).
+        bg_v = pvary(bg, axis)
         pre = preprocess(
             means3d, scales, quats, cam.viewmat, cam.projmat, cam.tan_fovx,
             cam.tan_fovy, cfg.width, cfg.height, cfg.tile, cfg.scale_modifier,
-            None, None, opacities,
+            None, extras.get("active"), opacities,
         )
-        img, aux = rasterize(means3d, scales, quats, opacities, colors, bg,
-                             cam, band_cfg, pre=_band_pre(pre, band_gy, cfg.tile, axis))
-        return img[None], aux.alpha[None]
+        probe = extras.get("probe")
+        if probe is not None:
+            pre = pre._replace(mean2d=pre.mean2d + probe)
+        band = _band_pre(pre, band_gy, cfg.tile, axis)
+        img, aux = rasterize(means3d, scales, quats, opacities, colors, bg_v,
+                             cam, band_cfg, pre=band)
+        overflow = jax.lax.psum(aux.overflow, axis)
+        num_entries = jax.lax.psum(aux.num_entries, axis)
+        # radius/depth from the UNCLAMPED preprocess are identical on every
+        # device (computed from replicated inputs): return them replicated.
+        return (img[None], aux.alpha[None], overflow, num_entries,
+                pre.radius, pre.depth)
 
+    extras = {}
+    if mean2d_probe is not None:
+        extras["probe"] = mean2d_probe
+    if active is not None:
+        extras["active"] = active
     fn = jax.shard_map(
         band_render, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P()),
-        out_specs=(P(axis), P(axis)),
+        in_specs=(P(), P(), P(), P(), P(), P(), {k: P() for k in extras}),
+        out_specs=(P(axis), P(axis), P(), P(), P(), P()),
     )
-    img_bands, alpha_bands = fn(means3d, scales, quats, opacities, colors, bg)
+    img_bands, alpha_bands, overflow, num_entries, radii, depth = fn(
+        means3d, scales, quats, op1, colors, bg, extras)
     H, W = cfg.height, cfg.width
     C = colors.shape[-1]
-    return (img_bands.reshape(H, W, C), alpha_bands.reshape(H, W))
+    aux = RasterizeAux(
+        radii=radii, visibility=radii > 0, depth=depth,
+        alpha=alpha_bands.reshape(H, W),
+        num_entries=num_entries, overflow=overflow,
+    )
+    return img_bands.reshape(H, W, C), aux
+
+
+def make_tile_parallel_raster_fn(mesh: Mesh, axis: str = "data"):
+    """raster_fn adapter for render_from_inputs: multi-device eval rendering."""
+    def raster_fn(xyz, scales, quats, opacity, colors, bg, cam, rcfg,
+                  mean2d_probe=None, active=None):
+        return rasterize_tile_sharded(xyz, scales, quats, opacity, colors, bg,
+                                      cam, rcfg, mesh, axis=axis,
+                                      mean2d_probe=mean2d_probe, active=active)
+    return raster_fn
+
+
+def render_tile_sharded(means3d, scales, quats, opacities, colors, bg,
+                        cam: CameraMatrices, cfg: RasterizerConfig, mesh: Mesh,
+                        axis: str = "data"):
+    """Back-compat wrapper: returns (image [H, W, C], alpha [H, W])."""
+    img, aux = rasterize_tile_sharded(means3d, scales, quats, opacities, colors,
+                                      bg, cam, cfg, mesh, axis=axis)
+    return img, aux.alpha

@@ -104,7 +104,7 @@ def render(params: G.GaussianParams, state: G.GaussianState,
            specular: bool = True, fix_sky: bool = False, debug: bool = True,
            normal_view: bool = False, mean2d_probe=None,
            c2w: jnp.ndarray | None = None,
-           use_autodiff_twin: bool = False) -> RenderOutput:
+           use_autodiff_twin: bool = False, raster_fn=None) -> RenderOutput:
     """Full relightable forward pass for one camera.
 
     Args:
@@ -121,7 +121,8 @@ def render(params: G.GaussianParams, state: G.GaussianState,
     return render_from_inputs(inp, state, cam, rcfg, bg_color, sky_mask,
                               debug=debug, normal_view=normal_view,
                               mean2d_probe=mean2d_probe, c2w=c2w,
-                              use_autodiff_twin=use_autodiff_twin)
+                              use_autodiff_twin=use_autodiff_twin,
+                              raster_fn=raster_fn)
 
 
 class RenderInputs(NamedTuple):

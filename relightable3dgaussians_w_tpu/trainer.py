@@ -94,6 +94,24 @@ class Relightable3DGWTrainer:
         self.cameras_extent = info.nerf_normalization["radius"]
         self.train_views, self.H, self.W = pad_cameras(self.train_cameras)
 
+        # ---- device mesh (runtime.data_parallel x runtime.gauss_shards)
+        self.data_ax = max(cfg.runtime.data_parallel, 1)
+        self.gauss_ax = max(cfg.runtime.gauss_shards, 1)
+        self.use_mesh = self.data_ax * self.gauss_ax > 1
+        if self.use_mesh:
+            n_dev = len(jax.devices())
+            if n_dev < self.data_ax * self.gauss_ax:
+                raise RuntimeError(
+                    f"mesh data={self.data_ax} x gauss={self.gauss_ax} needs "
+                    f"{self.data_ax * self.gauss_ax} devices, have {n_dev}")
+            if self.gauss_ax > 1:
+                # The gauss-sharded render assigns one tile-row band per gauss
+                # device: pad the image height so grid_y divides (masked pixels
+                # carry occluders_mask=0 and drop out of every loss).
+                quant = 16 * self.gauss_ax
+                self.H = ((self.H + quant - 1) // quant) * quant
+                self.train_views = self._repad_views(self.train_views, self.H, self.W)
+
         # ---- gaussian pool
         pts = info.point_cloud.points.astype(np.float32)
         d2 = knn_dist2(pts)
@@ -102,6 +120,8 @@ class Relightable3DGWTrainer:
         n_total = len(pts) + len(sky_pts)
         capacity = cfg.runtime.pool_capacity or int(n_total * cfg.runtime.pool_headroom)
         capacity = max(capacity, int(n_total * 1.25))  # never below what init needs
+        if self.gauss_ax > 1:  # pool rows must divide over the gauss axis
+            capacity = ((capacity + self.gauss_ax - 1) // self.gauss_ax) * self.gauss_ax
         params_g, gstate = G.init_from_points(pts, d2, capacity)
         sky_d2 = knn_dist2(sky_pts) if len(sky_pts) > 3 else np.full(len(sky_pts), 1e-4)
         params_g, gstate = G.augment_with_sky(params_g, gstate, sky_pts, sky_d2,
@@ -134,6 +154,19 @@ class Relightable3DGWTrainer:
         )
         self.fns = make_train_fns(self.mlp, cfg, self.rcfg,
                                   split_dispatch=cfg.runtime.split_dispatch)
+        self.mesh = None
+        self.dp_step = None
+        if self.use_mesh:
+            from .parallel.mesh import make_mesh
+            from .parallel.data_parallel import (
+                make_dp_train_step, shard_train_state)
+
+            self.mesh = make_mesh(data=self.data_ax, gauss=self.gauss_ax)
+            self.state = shard_train_state(self.state, self.mesh)
+            self.dp_step = make_dp_train_step(self.mlp, cfg, self.rcfg, self.mesh)
+            print(f"mesh: data={self.data_ax} x gauss={self.gauss_ax} "
+                  f"({self.data_ax} cameras/step"
+                  + (", pool sharded" if self.gauss_ax > 1 else "") + ")")
         self.bg_color = jnp.asarray(
             [1.0, 1.0, 1.0] if cfg.dataset.white_background else [0.0, 0.0, 0.0]
         )
@@ -147,7 +180,31 @@ class Relightable3DGWTrainer:
         with open(os.path.join(self.model_path, "relightable3DG-W_run.yaml"), "w") as f:
             json.dump(config_to_dict(cfg), f, indent=2, default=str)
 
+    @staticmethod
+    def _repad_views(views, H, W):
+        """Re-pad already-padded views to a larger (H, W) canvas."""
+        out = []
+        for v in views:
+            img = np.zeros((H, W, 3), np.float32)
+            img[: v["image"].shape[0], : v["image"].shape[1]] = v["image"]
+            sky = np.zeros((H, W), np.float32)
+            sky[: v["sky_mask"].shape[0], : v["sky_mask"].shape[1]] = v["sky_mask"]
+            occ = np.zeros((H, W), np.float32)
+            occ[: v["occluders_mask"].shape[0], : v["occluders_mask"].shape[1]] = (
+                v["occluders_mask"])
+            out.append(dict(cam=v["cam"], image=img, sky_mask=sky,
+                            occluders_mask=occ))
+        return out
+
     # ------------------------------------------------------------------ training
+
+    @staticmethod
+    def _crossed(interval: int, prev: int, cur: int) -> bool:
+        """True iff a multiple of `interval` lies in (prev, cur]. With a camera
+        batch of B per device step the iteration counter advances by B; schedule
+        events defined on the reference's per-image axis fire when the stride
+        crosses them."""
+        return interval > 0 and (cur // interval) > (prev // interval)
 
     def train(self, iterations: int | None = None, save_iterations=(15_000, 20_000, 30_000, 40_000),
               log_every: int = 100, test_iterations=(7_000, 30_000)):
@@ -170,12 +227,11 @@ class Relightable3DGWTrainer:
             print(f"viewer: listening on {cfg.runtime.viewer_ip}:{viewer.port} "
                   f"({cfg.runtime.viewer_protocol})")
 
+        B = self.data_ax if self.use_mesh else 1
         prev_overflow = None
-        for it in range(1, iterations + 1):
-            if not view_stack:
-                view_stack = list(range(len(self.train_views)))
-            view = self.train_views[view_stack.pop(rng.randint(len(view_stack)))]
-            cam = view["cam"]
+        it = 0
+        while it < iterations:
+            prev_it, it = it, it + B
             self.key, k_step = jax.random.split(self.key)
             self.profiler.step(it)
             timer.tic()
@@ -190,13 +246,27 @@ class Relightable3DGWTrainer:
             if prev_overflow is not None:
                 n_over = int(prev_overflow)
                 if n_over > 0:
-                    self._heal_binning_overflow(it - 1, n_over)
+                    self._heal_binning_overflow(prev_it, n_over)
                 prev_overflow = None
 
-            self.state, aux = self.fns.train_step(
-                self.state, cam.matrices(), view["image"], view["sky_mask"],
-                view["occluders_mask"], jnp.asarray(cam.uid), k_step, self.bg_color,
-            )
+            if B == 1:
+                if not view_stack:
+                    view_stack = list(range(len(self.train_views)))
+                view = self.train_views[view_stack.pop(rng.randint(len(view_stack)))]
+                cam = view["cam"]
+                self.state, aux = self.fns.train_step(
+                    self.state, cam.matrices(), view["image"], view["sky_mask"],
+                    view["occluders_mask"], jnp.asarray(cam.uid), k_step,
+                    self.bg_color,
+                )
+            else:
+                views = []
+                for _ in range(B):
+                    if not view_stack:
+                        view_stack = list(range(len(self.train_views)))
+                    views.append(
+                        self.train_views[view_stack.pop(rng.randint(len(view_stack)))])
+                self.state, aux = self._dp_train_step(views, k_step)
             prev_overflow = aux.overflow
 
             if viewer is not None:
@@ -207,7 +277,7 @@ class Relightable3DGWTrainer:
                     print(f"viewer: request failed ({e}); dropping connection")
                     viewer.close_conn()
 
-            if it % log_every == 0 or it == 1:
+            if self._crossed(log_every, prev_it, it) or prev_it == 0:
                 loss = float(aux.loss)  # device pull synchronizes the step
                 iter_ms = timer.toc()
                 if warm[0] == 0:
@@ -224,7 +294,7 @@ class Relightable3DGWTrainer:
                 print(f"[{it}] loss={loss:.5f} psnr={rec['psnr']:.2f} "
                       f"alive={rec['alive']} {rec['iters_per_s']:.2f} it/s")
 
-            if self.logger.tb is not None and it % (log_every * 10) == 0:
+            if self.logger.tb is not None and self._crossed(log_every * 10, prev_it, it):
                 p = self.state.params["gaussians"]
                 alive = np.asarray(self.state.gauss_state.alive)
                 self.logger.histogram(it, "opacity",
@@ -236,7 +306,8 @@ class Relightable3DGWTrainer:
 
             # Densification schedule (train.py:142-157).
             if it < o.densify_until_iter:
-                if it > o.densify_from_iter and it % o.densification_interval == 0:
+                if (it > o.densify_from_iter
+                        and self._crossed(o.densification_interval, prev_it, it)):
                     self.key, k_d = jax.random.split(self.key)
                     fn = (self.fns.densify_step_sized if it > o.opacity_reset_interval
                           else self.fns.densify_step)
@@ -253,17 +324,22 @@ class Relightable3DGWTrainer:
                         # stats; growth re-jits every step function.
                         cap = self.state.gauss_state.alive.shape[0]
                         new_cap = int(cap * 1.5)
+                        if self.use_mesh and self.gauss_ax > 1:
+                            new_cap = -(-new_cap // self.gauss_ax) * self.gauss_ax
                         print(f"[{it}] pool overflow: {int(report.overflow)} selected "
                               f"Gaussians not allocated; growing pool {cap} -> "
                               f"{new_cap} (+re-jit)")
                         self.state = grow_train_state(self.state, new_cap)
-                if it % o.opacity_reset_interval == 0 or it == o.densify_from_iter:
+                    self._reshard()
+                if (self._crossed(o.opacity_reset_interval, prev_it, it)
+                        or (prev_it < o.densify_from_iter <= it)):
                     self.state = self.fns.reset_opacity_step(self.state)
+                    self._reshard()
 
-            if it in set(test_iterations) or it == iterations:
+            if any(prev_it < s <= it for s in test_iterations) or it >= iterations:
                 self.evaluate_report(it)
 
-            if it in set(save_iterations) or it == iterations:
+            if any(prev_it < s <= it for s in save_iterations) or it >= iterations:
                 self.save(it)
         self.profiler.close()
         self.logger.close()
@@ -283,6 +359,47 @@ class Relightable3DGWTrainer:
         self.rcfg = self.rcfg._replace(max_dup=new_dup)
         self.fns = make_train_fns(self.mlp, self.cfg, self.rcfg,
                                   split_dispatch=self.cfg.runtime.split_dispatch)
+        if self.use_mesh:
+            from .parallel.data_parallel import make_dp_train_step
+
+            self.dp_step = make_dp_train_step(self.mlp, self.cfg, self.rcfg,
+                                              self.mesh)
+
+    def _reshard(self):
+        """Re-pin shardings after host-driven state surgery (densify / opacity
+        reset / pool growth): those jitted functions are compiled without explicit
+        output shardings, so leaves can come back replicated or differently
+        placed; one device_put tree restores the pool-over-`gauss` layout."""
+        if self.use_mesh:
+            from .parallel.data_parallel import shard_train_state
+
+            self.state = shard_train_state(self.state, self.mesh)
+
+    def _dp_train_step(self, views, key):
+        """One data-parallel device step over a batch of B cameras."""
+        from types import SimpleNamespace
+
+        from .parallel.data_parallel import CameraBatch
+
+        mats = [v["cam"].matrices() for v in views]
+        batch = CameraBatch(
+            viewmat=jnp.stack([m.viewmat for m in mats]),
+            projmat=jnp.stack([m.projmat for m in mats]),
+            campos=jnp.stack([m.campos for m in mats]),
+            tan_fovx=jnp.stack([jnp.asarray(m.tan_fovx) for m in mats]),
+            tan_fovy=jnp.stack([jnp.asarray(m.tan_fovy) for m in mats]),
+            gt_image=jnp.stack([jnp.asarray(v["image"]) for v in views]),
+            sky_mask=jnp.stack([jnp.asarray(v["sky_mask"]) for v in views]),
+            occluders_mask=jnp.stack(
+                [jnp.asarray(v["occluders_mask"]) for v in views]),
+            uid=jnp.asarray([v["cam"].uid for v in views]),
+        )
+        keys = jax.random.split(key, len(views))
+        state, metrics = self.dp_step(self.state, batch, keys, self.bg_color)
+        self.state = state
+        return state, SimpleNamespace(
+            loss=metrics["loss"], l1=metrics["l1"], psnr=metrics["psnr"],
+            num_alive=metrics["num_alive"], overflow=metrics["overflow"])
 
     def evaluate_report(self, it: int, n_train_views: int = 5):
         """In-training evaluation (training_report + evaluate_test_report,

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main(iters=1500, res=128, n_views=8):
+def main(iters=1500, res=128, n_views=8, use_dp=False):
     from relightable3dgaussians_w_tpu.config import Config
     from relightable3dgaussians_w_tpu.models import gaussians as G
     from relightable3dgaussians_w_tpu.models.nets import MLPNet, init_mlp, init_embeddings
@@ -126,15 +126,49 @@ def main(iters=1500, res=128, n_views=8):
     state = TrainState(params, gstate, make_optimizer().init(params), jnp.asarray(0))
     fns = make_train_fns(mlp, cfg, rcfg)
 
+    dp_step = None
+    if use_dp:
+        # Route every step through the data-parallel path (VERDICT r3 item 6:
+        # quality coverage for the distributed code, not just one-step parity).
+        # data=1 exercises make_dp_train_step's vmap-grads + sequential Adam
+        # microsteps on a real mesh without needing multiple chips.
+        from relightable3dgaussians_w_tpu.parallel.mesh import make_mesh
+        from relightable3dgaussians_w_tpu.parallel.data_parallel import (
+            CameraBatch, make_dp_train_step, shard_train_state)
+
+        mesh = make_mesh(data=1, gauss=1)
+        state = shard_train_state(state, mesh)
+        dp_step = make_dp_train_step(mlp, cfg, rcfg, mesh)
+        print("selfcheck: stepping through make_dp_train_step (data=1 mesh)")
+
     occ = jnp.ones((res, res))
     t0 = time.time()
     psnrs = []
     key = jax.random.PRNGKey(7)
+
+    class A:  # aux shim for the dp metrics dict
+        pass
+
     for it in range(1, iters + 1):
         vi = rng.randint(n_views)
         key, ks = jax.random.split(key)
-        state, aux = fns.train_step(state, cams[vi], gts[vi], sky_mask, occ,
-                                    jnp.asarray(vi), ks, bg)
+        if dp_step is not None:
+            from relightable3dgaussians_w_tpu.parallel.data_parallel import CameraBatch
+
+            c = cams[vi]
+            batch = CameraBatch(
+                viewmat=c.viewmat[None], projmat=c.projmat[None],
+                campos=c.campos[None], tan_fovx=jnp.asarray([c.tan_fovx]),
+                tan_fovy=jnp.asarray([c.tan_fovy]), gt_image=gts[vi][None],
+                sky_mask=sky_mask[None], occluders_mask=occ[None],
+                uid=jnp.asarray([vi]))
+            state, metrics = dp_step(state, batch, ks[None], bg)
+            aux = A()
+            aux.psnr, aux.loss = metrics["psnr"], metrics["loss"]
+            aux.num_alive, aux.overflow = metrics["num_alive"], metrics["overflow"]
+        else:
+            state, aux = fns.train_step(state, cams[vi], gts[vi], sky_mask, occ,
+                                        jnp.asarray(vi), ks, bg)
         if it % 100 == 0 or it == 1:
             p = float(aux.psnr)
             psnrs.append((it, p))
@@ -166,6 +200,7 @@ def main(iters=1500, res=128, n_views=8):
             f.write(json.dumps({"iter": it, "psnr": p}) + "\n")
         f.write(json.dumps({"iters": iters, "res": res, "views": n_views,
                             "first": first, "best": best, "tail_mean": tail_mean,
+                            "dp_step": use_dp,
                             "backend": jax.default_backend()}) + "\n")
 
     min_psnr = float(os.environ.get("SELFCHECK_MIN_PSNR", 21.0))
@@ -182,5 +217,7 @@ def main(iters=1500, res=128, n_views=8):
 if __name__ == "__main__":
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
     res = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    _, ok = main(iters, res)
+    n_views = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    use_dp = os.environ.get("SELFCHECK_DP", "0") == "1"
+    _, ok = main(iters, res, n_views, use_dp)
     sys.exit(0 if ok else 1)

@@ -40,3 +40,28 @@ def test_tile_sharded_rejects_indivisible_grid():
     with pytest.raises(ValueError):
         render_tile_sharded(arrs["means3d"], arrs["scales"], arrs["quats"],
                             arrs["opacities"], arrs["colors"], arrs["bg"], cam, cfg, mesh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tile_parallel_raster_fn_through_renderer():
+    """The raster_fn adapter (the eval/render consumer, cli/render.py
+    make_eval_raster_fn) must return a full (image, RasterizeAux) bitwise equal
+    to the single-device rasterize, including the aux counters."""
+    from relightable3dgaussians_w_tpu.parallel.tile_parallel import (
+        make_tile_parallel_raster_fn)
+
+    arrs, cam, cfg, host = make_scene(n=300, seed=7, W=64, H=128)
+    cfg = cfg._replace(max_dup=1 << 15)
+    mesh = make_mesh(data=8)
+    raster_fn = make_tile_parallel_raster_fn(mesh, "data")
+
+    ref_img, ref_aux = rasterize(
+        arrs["means3d"], arrs["scales"], arrs["quats"], arrs["opacities"],
+        arrs["colors"], arrs["bg"], cam, cfg)
+    img, aux = raster_fn(arrs["means3d"], arrs["scales"], arrs["quats"],
+                         arrs["opacities"], arrs["colors"], arrs["bg"], cam, cfg)
+
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(ref_img))
+    np.testing.assert_array_equal(np.asarray(aux.alpha), np.asarray(ref_aux.alpha))
+    np.testing.assert_array_equal(np.asarray(aux.radii), np.asarray(ref_aux.radii))
+    assert int(aux.overflow) == int(ref_aux.overflow)
