@@ -31,6 +31,7 @@ slices along the tiled sublane dim of a 2D memref ("must be aligned to tiling (8
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +42,7 @@ MACRO = 4096  # entries per DMA step; D must be a multiple of this
 
 
 def _kernel(starts_ref, uppers_ref, packed_ref, out_ref,
-            rows_scratch, sems, *, block, f_used, f_pad, f_dma):
+            rows_scratch, sems, *, block, f_used, f_pad, f_dma, passes):
     b = pl.program_id(0)
     start_m = starts_ref[b]          # macro index, inclusive
     upper_m = uppers_ref[b]          # macro index, exclusive
@@ -70,21 +71,28 @@ def _kernel(starts_ref, uppers_ref, packed_ref, out_ref,
         # HBM memref must be multiples of 8).
         ids_v = rows_scratch[slot, 0, 0:1] - b * block    # [1, MACRO] f32, exact
         rows_v = rows_scratch[slot, 0, 1:1 + f_used]      # [f_used, MACRO] f32
-        # One-sided Dekker split: rows = hi + mid + lo with each term bf16 and the
-        # residuals computed exactly in f32.
-        hi = rows_v.astype(jnp.bfloat16)
-        r1 = rows_v - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        hml = jnp.concatenate([hi, mid, lo], axis=0)      # [3*f_used, MACRO] bf16
+        # One-sided Dekker split: rows = hi + mid (+ lo) with each term bf16 and
+        # the residuals computed exactly in f32. passes=3 reproduces f32 to
+        # ~2^-26 rel; passes=2 to ~2^-16 — plenty for GRADIENT sums (Adam's
+        # normalization; the r1c 2-pass prefix matmuls use the same argument)
+        # and 1/3 fewer MXU rows.
+        terms = []
+        r = rows_v
+        for _ in range(passes):
+            t = r.astype(jnp.bfloat16)
+            terms.append(t)
+            r = r - t.astype(jnp.float32)
+        hml = jnp.concatenate(terms, axis=0)              # [passes*f_used, MACRO]
         onehot = jnp.where(ids_v == iota_b, 1.0, 0.0).astype(jnp.bfloat16)
         return acc + jax.lax.dot_general(
             hml, onehot, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [3*f_used, block]
+            preferred_element_type=jnp.float32)           # [passes*f_used, block]
 
     acc = jax.lax.fori_loop(0, n_macros, body,
-                            jnp.zeros((3 * f_used, block), jnp.float32))
-    total = acc[:f_used] + acc[f_used:2 * f_used] + acc[2 * f_used:]
+                            jnp.zeros((passes * f_used, block), jnp.float32))
+    total = acc[:f_used]
+    for p in range(1, passes):
+        total = total + acc[p * f_used:(p + 1) * f_used]
     out = total.T                                         # [block, f_used]
     if f_used < f_pad:
         out = jnp.concatenate(
@@ -94,7 +102,8 @@ def _kernel(starts_ref, uppers_ref, packed_ref, out_ref,
 
 def segment_sum_rows(rows, ids: jnp.ndarray, num_segments: int,
                      block: int = 1024, interpret: bool = False,
-                     presorted: bool = False) -> jnp.ndarray:
+                     presorted: bool = False,
+                     passes: int | None = None) -> jnp.ndarray:
     """Sum rows with equal ids: out[i, f] = sum over e with ids[e] == i of
     rows[f][e].
 
@@ -105,6 +114,8 @@ def segment_sum_rows(rows, ids: jnp.ndarray, num_segments: int,
     Returns:
         [num_segments_padded >= num_segments, F_pad >= F] — caller slices.
     """
+    if passes is None:
+        passes = int(os.environ.get("SEGSUM_PASSES", "3"))
     rows = list(rows)
     f_used = len(rows)
     d = rows[0].shape[0]
@@ -165,7 +176,7 @@ def segment_sum_rows(rows, ids: jnp.ndarray, num_segments: int,
         ],
     )
     kernel = functools.partial(_kernel, block=block, f_used=f_used, f_pad=f_pad,
-                               f_dma=f_dma)
+                               f_dma=f_dma, passes=passes)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

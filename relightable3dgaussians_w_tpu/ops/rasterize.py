@@ -42,6 +42,7 @@ class RasterizerConfig(NamedTuple):
     scale_modifier: float = 1.0
     use_pallas: bool = False         # stream tiles through the Pallas TPU kernels
     pallas_chunk: int = 256          # entries per streamed chunk (Pallas path)
+    tiles_per_step: int = 4          # tiles per composite grid step (Pallas)
     pallas_interpret: bool = False   # interpreter mode (CPU testing)
     align_chunk: int = 128           # tile-segment alignment quantum (TPU DMA
                                      # needs 128; smaller than pallas_chunk cuts
@@ -198,6 +199,7 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
         pcfg = PallasCompositeConfig(grid_x=cfg.grid_x, grid_y=cfg.grid_y,
                                      channels=colors.shape[-1], tile=cfg.tile,
                                      chunk=cfg.pallas_chunk, align=align,
+                                     tiles_per_step=cfg.tiles_per_step,
                                      interpret=cfg.pallas_interpret)
         tiles_rgb, tiles_tfin = composite_tiles_pallas(
             feat_t, aligned.tile_start, aligned.tile_count, bg, pcfg)

@@ -129,6 +129,76 @@ def default_rows_per_band(n_loc: int, D: int) -> int:
     return min(n_loc, max(-(-2 * n_loc // D), 4096))
 
 
+def rasterize_gauss_shard_local(means3d, scales, quats, opacities, colors, bg,
+                                cam: CameraMatrices, cfg: RasterizerConfig,
+                                D: int, axis: str, rows_per_band: int,
+                                mean2d_probe=None, active=None):
+    """The per-device gauss-sharded render body — call INSIDE a shard_map whose
+    mesh has axis `axis` of size `D`.
+
+    Args are the LOCAL pool shard ([n/D] leading dims) plus the replicated
+    bg/cam (promoted to axis-varying here). Both `rasterize_gauss_sharded` (its
+    own shard_map) and the fused data x gauss training step
+    (parallel/data_parallel.py, where the camera batch is simultaneously sharded
+    over `data`) run this body; the all_to_all operates over `axis` only, so
+    under a ("data", "gauss") mesh each data row exchanges independently.
+
+    Returns (band_img [H/D, W, C], band_alpha [H/D, W], overflow (psum, axis-
+    replicated), num_entries (psum), radius_shard [n/D], depth_shard [n/D]).
+    """
+    # bg and the camera enter replicated; promote them to axis-varying BEFORE
+    # any compute so the custom-VJP bwd rules (composite_tiles' d_bg,
+    # ops/composite.py:302-306) return cotangents whose varying manual axes
+    # match their primal inputs. The promotion's transpose is a psum over
+    # `axis` — the correct reduction for a replicated input's gradient.
+    # Closure-capturing them instead leaves them unvarying and trips strict
+    # vma checking (MULTICHIP_r03.json).
+    bg = pvary(bg, axis)
+    cam = jax.tree_util.tree_map(lambda x: pvary(x, axis), cam)
+
+    n_loc = means3d.shape[0]
+    gy = cfg.grid_y
+    band_gy = gy // D
+    C = colors.shape[-1]
+    cap = rows_per_band
+    band_cfg = cfg._replace(height=band_gy * cfg.tile,
+                            max_dup=max(cfg.max_dup // D, 4096))
+
+    d = jax.lax.axis_index(axis)
+    op1 = opacities[:, 0] if opacities.ndim == 2 else opacities
+    pre = preprocess(
+        means3d, scales, quats, cam.viewmat, cam.projmat, cam.tan_fovx,
+        cam.tan_fovy, cfg.width, cfg.height, cfg.tile, cfg.scale_modifier,
+        None, active, op1,
+    )
+    if mean2d_probe is not None:
+        pre = pre._replace(mean2d=pre.mean2d + mean2d_probe)
+    gid0 = (d * n_loc).astype(jnp.float32)
+
+    sends, drops = [], []
+    for e in range(D):
+        rec, dropped = _band_records(pre, op1, colors, gid0, e, band_gy,
+                                     cfg.tile, cap, n_loc)
+        sends.append(rec)
+        drops.append(dropped)
+    send = jnp.stack(sends)                                     # [D, cap, R]
+
+    # The one collective: record buckets to their tile-band owners.
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                              tiled=True)                       # [D, cap, R]
+    table = recv.reshape(D * cap, send.shape[-1])
+
+    pre_b, op_b, col_b = _records_to_pre(table, C)
+    zeros3 = jnp.zeros((D * cap, 3), jnp.float32)
+    quats0 = jnp.zeros((D * cap, 4), jnp.float32).at[:, 0].set(1.0)
+    img, aux = rasterize(zeros3, jnp.ones_like(zeros3), quats0, op_b, col_b,
+                         bg, cam, band_cfg, pre=pre_b)
+    # psum makes these replicated (vma drops `axis`) -> out_specs P().
+    overflow = jax.lax.psum(sum(drops) + aux.overflow, axis)
+    num_entries = jax.lax.psum(aux.num_entries, axis)
+    return img, aux.alpha, overflow, num_entries, pre.radius, pre.depth
+
+
 def rasterize_gauss_sharded(means3d, scales, quats, opacities, colors, bg,
                             cam: CameraMatrices, cfg: RasterizerConfig,
                             mesh: Mesh, axis: str = "gauss",
@@ -185,51 +255,12 @@ def rasterize_gauss_sharded(means3d, scales, quats, opacities, colors, bg,
     has_active = active is not None
 
     def shard_fn(means3d, scales, quats, opacities, colors, bg, cam, extras):
-        # bg and the camera enter replicated (in_specs P()); promote them to
-        # gauss-varying BEFORE any compute so the custom-VJP bwd rules
-        # (composite_tiles' d_bg, ops/composite.py:302-306) return cotangents
-        # whose varying manual axes match their primal inputs. The promotion's
-        # transpose is a psum over `axis` — the correct reduction for a
-        # replicated input's gradient. Closure-capturing them instead leaves
-        # them unvarying and trips strict vma checking (MULTICHIP_r03.json).
-        bg = pvary(bg, axis)
-        cam = jax.tree_util.tree_map(lambda x: pvary(x, axis), cam)
-        probe = extras.get("probe")
-        act = extras.get("active")
-        d = jax.lax.axis_index(axis)
-        op1 = opacities[:, 0] if opacities.ndim == 2 else opacities
-        pre = preprocess(
-            means3d, scales, quats, cam.viewmat, cam.projmat, cam.tan_fovx,
-            cam.tan_fovy, cfg.width, cfg.height, cfg.tile, cfg.scale_modifier,
-            None, act, op1,
-        )
-        if probe is not None:
-            pre = pre._replace(mean2d=pre.mean2d + probe)
-        gid0 = (d * n_loc).astype(jnp.float32)
-
-        sends, drops = [], []
-        for e in range(D):
-            rec, dropped = _band_records(pre, op1, colors, gid0, e, band_gy,
-                                         cfg.tile, cap, n_loc)
-            sends.append(rec)
-            drops.append(dropped)
-        send = jnp.stack(sends)                                     # [D, cap, R]
-
-        # The one collective: record buckets to their tile-band owners.
-        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
-                                  tiled=True)                       # [D, cap, R]
-        table = recv.reshape(D * cap, send.shape[-1])
-
-        pre_b, op_b, col_b = _records_to_pre(table, C)
-        zeros3 = jnp.zeros((D * cap, 3), jnp.float32)
-        quats0 = jnp.zeros((D * cap, 4), jnp.float32).at[:, 0].set(1.0)
-        img, aux = rasterize(zeros3, jnp.ones_like(zeros3), quats0, op_b, col_b,
-                             bg, cam, band_cfg, pre=pre_b)
-        # psum makes these replicated (vma drops `axis`) -> out_specs P().
-        overflow = jax.lax.psum(sum(drops) + aux.overflow, axis)
-        num_entries = jax.lax.psum(aux.num_entries, axis)
-        return (img[None], aux.alpha[None], overflow, num_entries,
-                pre.radius, pre.depth)
+        img, alpha, overflow, num_entries, radius, depth = (
+            rasterize_gauss_shard_local(
+                means3d, scales, quats, opacities, colors, bg, cam, cfg, D,
+                axis, cap, mean2d_probe=extras.get("probe"),
+                active=extras.get("active")))
+        return img[None], alpha[None], overflow, num_entries, radius, depth
 
     specs = P(axis)
     extras = {}

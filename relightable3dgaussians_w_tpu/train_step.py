@@ -128,9 +128,20 @@ def make_leaf_inputs(params, gauss_state: G.GaussianState, mlp: MLPNet,
 def core_loss(inp: RenderInputs, envlight_sh, gauss_state: G.GaussianState,
               mean2d_probe, cam: CameraMatrices, gt_image, sky_mask,
               occluders_mask, key, step, cfg: Config, rcfg: RasterizerConfig,
-              bg_color, raster_fn=None, pre=None):
+              bg_color, raster_fn=None, pre=None, pool_axis: str | None = None,
+              pool_axis_size: int = 1):
     """Stage B: rasterize the leaf inputs and evaluate the loss stack
-    (train.py:78-113). Returns (loss, aux dict)."""
+    (train.py:78-113). Returns (loss, aux dict).
+
+    pool_axis/pool_axis_size: set when running INSIDE a shard_map with the pool
+    rows sharded over `pool_axis` (the fused data x gauss step,
+    parallel/data_parallel.py). Every term is then computed with GLOBAL
+    semantics (image terms see the gathered full image; pool-row regularizers
+    psum their sums) and the returned loss is the global loss DIVIDED by the
+    axis size — the caller psums it back, which makes every gradient exactly
+    the single-device gradient: image-chain cotangents arrive once per device
+    at 1/size scale and the all_gather transpose sums size copies; pool-row
+    chains get size identical 1/size contributions."""
     o = cfg.optimizer
     _, _, k_envl = jax.random.split(key, 3)
 
@@ -145,15 +156,20 @@ def core_loss(inp: RenderInputs, envlight_sh, gauss_state: G.GaussianState,
     occ3 = jnp.broadcast_to(occluders_mask[None], image.shape)
     sky3 = jnp.broadcast_to(sky_mask[None], image.shape)
 
+    # With pool_axis set, every image-space term is identical on each device
+    # (they all see the gathered full image): scale by 1/size so the caller's
+    # psum restores the global value exactly once (docstring).
+    iw = 1.0 / pool_axis_size if pool_axis is not None else 1.0
+
     l1 = LO.l1_loss(image, gt, mask=occ3)
     ssim_v = 1.0 - LO.ssim(image, gt, mask=occ3)
     rec = l1 * (1 - o.lambda_dssim) + o.lambda_dssim * ssim_v
-    loss = rec
+    loss = iw * rec
 
     # Sky-region BRDF suppression (train.py:86-87): mask = 1 - sky_mask selects sky.
     diff_c = chw(out.diffuse_color)
     spec_c = chw(out.specular_color)
-    loss = loss + o.lambda_sky_brdf * (
+    loss = loss + iw * o.lambda_sky_brdf * (
         LO.l1_loss(diff_c, jnp.zeros_like(diff_c), mask=1 - sky3)
         + LO.l1_loss(spec_c, jnp.zeros_like(spec_c), mask=1 - sky3)
     )
@@ -163,26 +179,30 @@ def core_loss(inp: RenderInputs, envlight_sh, gauss_state: G.GaussianState,
         rn = chw(out.normal) * occ3 * sky3
         rs = chw(out.normal_ref) * occ3 * sky3
         ncl = o.lambda_normal * jnp.mean(1.0 - jnp.sum(rn * rs, axis=0))
-        loss = loss + jnp.where(step > o.reg_normal_from_iter, ncl, 0.0)
+        loss = loss + iw * jnp.where(step > o.reg_normal_from_iter, ncl, 0.0)
 
     # Environment-light R+ constraint (train.py:99-102; added unweighted — the
     # reference's lambda_envlight only gates the term on/off).
     if o.lambda_envlight > 0:
-        loss = loss + LO.envl_sh_loss(k_envl, envlight_sh, cfg.model.envlight_sh_degree)
+        loss = loss + iw * LO.envl_sh_loss(k_envl, envlight_sh,
+                                           cfg.model.envlight_sh_degree)
 
     # Planar prior (train.py:105-107). inp.scales == get_scaling(params), so the
-    # gradient chains through the same exp in the input-VJP stage.
+    # gradient chains through the same exp in the input-VJP stage. With
+    # pool_axis the masked mean is computed GLOBALLY inside (psum'd sums), then
+    # scaled like every other term.
     if o.lambda_scale > 0:
-        loss = loss + o.lambda_scale * LO.min_scale_loss(
-            inp.scales, out.radii, gauss_state.is_sky
+        loss = loss + iw * o.lambda_scale * LO.min_scale_loss(
+            inp.scales, out.radii, gauss_state.is_sky, pool_axis=pool_axis
         )
 
     # Sky/foreground Gaussian depth separation (train.py:110-113).
     if o.lambda_sky_gauss > 0:
         dl = o.lambda_sky_gauss * LO.depth_loss_gaussians(
-            out.gauss_depth, gauss_state.is_sky, out.visibility_filter
+            out.gauss_depth, gauss_state.is_sky, out.visibility_filter,
+            pool_axis=pool_axis
         )
-        loss = loss + jnp.where(step > o.reg_sky_gauss_depth_from_iter, dl, 0.0)
+        loss = loss + iw * jnp.where(step > o.reg_sky_gauss_depth_from_iter, dl, 0.0)
 
     psnr = LO.psnr(image * occ3, gt * occ3)
     aux = dict(l1=l1, psnr=psnr, radii=out.radii, visibility=out.visibility_filter,
@@ -193,13 +213,15 @@ def core_loss(inp: RenderInputs, envlight_sh, gauss_state: G.GaussianState,
 def forward_loss(params, gauss_state: G.GaussianState, mean2d_probe, mlp: MLPNet,
                  cam: CameraMatrices, gt_image, sky_mask, occluders_mask, cam_uid,
                  key, step, cfg: Config, rcfg: RasterizerConfig, bg_color,
-                 raster_fn=None):
+                 raster_fn=None, pool_axis: str | None = None,
+                 pool_axis_size: int = 1):
     """Fused loss stack (stage A + stage B in one graph). Returns (loss, aux)."""
     inp, envlight_sh = make_leaf_inputs(params, gauss_state, mlp, cam, cam_uid,
                                         key, cfg)
     return core_loss(inp, envlight_sh, gauss_state, mean2d_probe, cam, gt_image,
                      sky_mask, occluders_mask, key, step, cfg, rcfg, bg_color,
-                     raster_fn=raster_fn)
+                     raster_fn=raster_fn, pool_axis=pool_axis,
+                     pool_axis_size=pool_axis_size)
 
 
 class TrainFns(NamedTuple):

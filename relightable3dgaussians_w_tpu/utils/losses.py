@@ -142,7 +142,8 @@ def sky_depth_loss(depth_map: jnp.ndarray, sky_mask: jnp.ndarray, gamma: float =
     return jnp.where(n_sky > 0, loss, 0.0)
 
 
-def depth_loss_gaussians(depths: jnp.ndarray, is_sky: jnp.ndarray, visible: jnp.ndarray, gamma: float = 0.02) -> jnp.ndarray:
+def depth_loss_gaussians(depths: jnp.ndarray, is_sky: jnp.ndarray, visible: jnp.ndarray, gamma: float = 0.02,
+                         pool_axis: str | None = None) -> jnp.ndarray:
     """exp(-gamma * (mean depth of visible sky Gaussians - mean depth of visible
     foreground Gaussians)); fg mean is stop-gradiented (reference
     loss_utils.py:140-148). Functional form over per-Gaussian view depths.
@@ -151,13 +152,21 @@ def depth_loss_gaussians(depths: jnp.ndarray, is_sky: jnp.ndarray, visible: jnp.
         depths: [N] view-space z per Gaussian.
         is_sky: [N] bool.
         visible: [N] bool (radii > 0).
+        pool_axis: mesh axis name when the pool rows are sharded — the four
+            sums are psum'd BEFORE the nonlinear exp so every device returns
+            the global value.
     """
     sky_m = is_sky & visible
     fg_m = (~is_sky) & visible
     n_sky = jnp.sum(sky_m)
     n_fg = jnp.sum(fg_m)
-    avg_sky = jnp.sum(jnp.where(sky_m, depths, 0.0)) / jnp.maximum(n_sky, 1)
-    avg_fg = jax.lax.stop_gradient(jnp.sum(jnp.where(fg_m, depths, 0.0)) / jnp.maximum(n_fg, 1))
+    s_sky = jnp.sum(jnp.where(sky_m, depths, 0.0))
+    s_fg = jnp.sum(jnp.where(fg_m, depths, 0.0))
+    if pool_axis is not None:
+        n_sky, n_fg, s_sky, s_fg = (jax.lax.psum(v, pool_axis)
+                                    for v in (n_sky, n_fg, s_sky, s_fg))
+    avg_sky = s_sky / jnp.maximum(n_sky, 1)
+    avg_fg = jax.lax.stop_gradient(s_fg / jnp.maximum(n_fg, 1))
     loss = jnp.exp(-gamma * (avg_sky - avg_fg))
     return jnp.where((n_sky > 0) & (n_fg > 0), loss, 0.0)
 
@@ -210,13 +219,22 @@ def envl_sh_loss(key, sh_env: jnp.ndarray, sh_degree: int, n_samples: int = 10) 
     return penalize_outside_range(vals.reshape(-1), 0.0, np.inf)
 
 
-def min_scale_loss(scaling: jnp.ndarray, radii: jnp.ndarray, is_sky: jnp.ndarray) -> jnp.ndarray:
+def min_scale_loss(scaling: jnp.ndarray, radii: jnp.ndarray, is_sky: jnp.ndarray,
+                   pool_axis: str | None = None) -> jnp.ndarray:
     """Mean of the smallest scale over visible foreground Gaussians — the planar prior
-    (reference loss_utils.py:210-220)."""
+    (reference loss_utils.py:210-220).
+
+    pool_axis: mesh axis name when the pool rows are sharded (shard_map context);
+    the masked mean's numerator/denominator are psum'd BEFORE the division so
+    every device returns the global value."""
     m = (radii > 0) & (~is_sky)
     min_s = jnp.min(scaling, axis=-1)
     n = jnp.sum(m)
-    return jnp.where(n > 0, jnp.sum(jnp.where(m, min_s, 0.0)) / jnp.maximum(n, 1), 0.0)
+    num = jnp.sum(jnp.where(m, min_s, 0.0))
+    if pool_axis is not None:
+        n = jax.lax.psum(n, pool_axis)
+        num = jax.lax.psum(num, pool_axis)
+    return jnp.where(n > 0, num / jnp.maximum(n, 1), 0.0)
 
 
 def img2mse(x: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
