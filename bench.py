@@ -33,6 +33,11 @@ def build(n, W, H, seed=0):
     ], -1).astype(np.float32)
     # Scales sized so mean tile coverage stays realistic (~2-6 tiles/Gaussian).
     scales = rng.uniform(0.002, 0.012, (n, 3)).astype(np.float32)
+    # BENCH_ANISO > 1 stretches one axis to emulate trained splats (surfels are
+    # strongly anisotropic after the planar prior); duplication factor rises.
+    aniso = float(os.environ.get("BENCH_ANISO", 1.0))
+    if aniso != 1.0:
+        scales[:, 0] *= aniso
     quats = rng.normal(size=(n, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
     opac = rng.uniform(0.2, 0.9, n).astype(np.float32)
@@ -45,12 +50,22 @@ def build(n, W, H, seed=0):
     # reference sizes its key buffer from the scanned duplicate count
     # (rasterizer_impl.cu:280-285) — the overflow counter still reports any clamp.
     max_dup = int(os.environ.get("BENCH_MAX_DUP", 0))
+    row_iv = os.environ.get("BENCH_ROW_INTERVALS", "0") == "1"
     if max_dup == 0:
-        from relightable3dgaussians_w_tpu.ops.preprocess import preprocess
+        from relightable3dgaussians_w_tpu.ops.preprocess import (
+            preprocess, row_intervals)
 
-        total = int(jax.jit(lambda m, s, q, o: jnp.sum(preprocess(
-            m, s, q, cam.viewmat, cam.projmat, cam.tan_fovx, cam.tan_fovy,
-            W, H, 16, opacities=o).tiles_touched))(*arrs[:3], arrs[3]))
+        def count(m, s, q, o):
+            pre = preprocess(m, s, q, cam.viewmat, cam.projmat, cam.tan_fovx,
+                             cam.tan_fovy, W, H, 16, opacities=o)
+            if row_iv:
+                # Sort/gather/segment-sum costs scale with the STATIC budget,
+                # not the live entry count — the interval win only materializes
+                # through a smaller max_dup.
+                return jnp.sum(row_intervals(pre, o)[0])
+            return jnp.sum(pre.tiles_touched)
+
+        total = int(jax.jit(count)(*arrs[:3], arrs[3]))
         max_dup = min(max(((int(total * 1.05) + 4095) // 4096) * 4096, 4096), 1 << 23)
 
     cfg = RasterizerConfig(
@@ -61,6 +76,7 @@ def build(n, W, H, seed=0):
         tile_chunk=int(os.environ.get("BENCH_TILE_CHUNK", 8)),
         use_pallas=use_pallas,
         pallas_chunk=int(os.environ.get("BENCH_CHUNK", 512)),
+        row_intervals=os.environ.get("BENCH_ROW_INTERVALS", "0") == "1",
     )
     return arrs, cam, cfg
 
@@ -73,8 +89,32 @@ def main():
     W = H = int(os.environ.get("BENCH_RES", 800))
     iters = int(os.environ.get("BENCH_ITERS", 10))
     split = os.environ.get("BENCH_SPLIT", "1") == "1"
+    mode = os.environ.get("BENCH_MODE", "train")  # train (fwd+bwd) | render (fwd)
     arrs, cam, cfg = build(n, W, H)
     bg = jnp.zeros(3, jnp.float32)
+
+    if mode == "render":
+        # Inference/serving throughput: forward-only novel-view rendering.
+        fwd = jax.jit(lambda a: rasterize(*a, bg, cam, cfg))
+        img, aux = fwd(arrs)
+        overflow = int(aux.overflow)
+        float(jnp.sum(img[:1, :1]))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            img, aux = fwd(arrs)
+        float(jnp.sum(img[:1, :1]))
+        dt = (time.perf_counter() - t0) / iters
+        print(json.dumps({
+            "metric": f"splat_render_pixels_per_s_{n}g_{W}x{H}",
+            "value": W * H / dt,
+            "unit": "pixels/s/chip",
+            "vs_baseline": (W * H / dt) / NOMINAL_BASELINE_PIX_S,
+            "extra": {"ms_per_frame": dt * 1e3, "fps": 1.0 / dt,
+                      "overflow_entries": overflow,
+                      "backend": jax.devices()[0].platform,
+                      "pallas": cfg.use_pallas},
+        }))
+        return
 
     def img_loss(img, aux):
         return jnp.sum(img) + jnp.sum(aux.alpha)

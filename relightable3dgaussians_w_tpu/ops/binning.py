@@ -153,6 +153,45 @@ def tile_histogram(pre: PreprocessOut, grid_x: int, grid_y: int) -> jnp.ndarray:
     return counts2d.reshape(-1).astype(jnp.int32)  # tile-major: t = ty*grid_x + tx
 
 
+def tile_histogram_intervals(pre: PreprocessOut, packed: jnp.ndarray,
+                             grid_x: int, grid_y: int) -> jnp.ndarray:
+    """`tile_histogram` with exact per-tile-row x-intervals (preprocess.
+    row_intervals): each (Gaussian, row j < H_CAP) is a rank-1 [1 tile row x
+    interval] rectangle — one step-mask matmul per j — and rows past H_CAP keep
+    the full rect (one band-mask matmul). Counts match row_intervals' counts
+    EXACTLY (same packed values, same integer math)."""
+    from .preprocess import H_CAP
+
+    alive = (pre.tiles_touched > 0)[None, :]
+    tx = jnp.arange(grid_x, dtype=jnp.int32)[:, None]
+    ty = jnp.arange(grid_y, dtype=jnp.int32)[:, None]
+    x0 = pre.rect_min[None, :, 0]
+    y0 = pre.rect_min[None, :, 1]
+    x1 = pre.rect_max[None, :, 0]
+    y1 = pre.rect_max[None, :, 1]
+
+    HI = jax.lax.Precision.HIGHEST
+    counts2d = jnp.zeros((grid_y, grid_x), jnp.float32)
+    for j in range(H_CAP):
+        p = packed[j][None, :]                      # [1, N] f32 exact ints
+        wj = jnp.floor(p / 128.0)
+        txl = x0 + (p - 128.0 * wj).astype(jnp.int32)
+        wj = wj.astype(jnp.int32)
+        live = alive & (wj > 0)
+        sy = (ty == y0 + j) & live
+        sx = (txl <= tx) & (tx < txl + wj) & live
+        counts2d = counts2d + jax.lax.dot_general(
+            sy.astype(jnp.bfloat16), sx.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    # Tail rows (j >= H_CAP): full rect width.
+    sy_t = (y0 + H_CAP <= ty) & (ty < y1) & alive
+    sx_t = (x0 <= tx) & (tx < x1) & alive
+    counts2d = counts2d + jax.lax.dot_general(
+        sy_t.astype(jnp.bfloat16), sx_t.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    return counts2d.reshape(-1).astype(jnp.int32)
+
+
 def _expand_by_counts(counts: jnp.ndarray, num_slots: int):
     """Slot s -> source row r (nondecreasing) for repeat-by-counts expansion.
 
@@ -175,30 +214,68 @@ class AlignedEntries(NamedTuple):
     overflow: jnp.ndarray      # [] int32 entries dropped by the budget (0 = exact)
 
 
+def _row_col_from_intervals(slot, packed_g, wg):
+    """Map a within-Gaussian slot to (tile row, tile col offset from rect_x0)
+    under per-row intervals: rows 0..H_CAP-1 carry packed txl_rel + 128*w_j,
+    deeper rows the full rect width. All exact f32/int math — the Pallas kernel
+    computes the IDENTICAL chain (ops/pallas/expand.py)."""
+    from .preprocess import H_CAP
+
+    wj = [jnp.floor(packed_g[k] / 128.0) for k in range(H_CAP)]
+    txl = [packed_g[k] - 128.0 * wj[k] for k in range(H_CAP)]
+    cum = []
+    acc = jnp.zeros_like(wj[0])
+    for k in range(H_CAP):
+        cum.append(acc)           # exclusive prefix
+        acc = acc + wj[k]
+    c8 = acc
+    slot_f = slot.astype(jnp.float32)
+    in_cap = slot_f < c8
+    row8 = sum((slot_f >= cum[k]).astype(jnp.int32) for k in range(1, H_CAP))
+    sel = lambda vals: sum(
+        jnp.where(row8 == k, vals[k], 0.0) for k in range(H_CAP))
+    col8 = sel(txl) + slot_f - sel(cum)
+    # Tail: full-rect row walk past the capped rows.
+    wg_f = jnp.maximum(wg.astype(jnp.float32), 1.0)
+    tail = slot_f - c8
+    q = jnp.floor(tail * (1.0 / wg_f))
+    r = tail - q * wg_f
+    q = jnp.where(r < 0, q - 1, jnp.where(r >= wg_f, q + 1, q))
+    r = tail - q * wg_f
+    from .preprocess import H_CAP as HC
+
+    row = jnp.where(in_cap, row8.astype(jnp.float32), HC + q)
+    col = jnp.where(in_cap, col8, r)
+    return row.astype(jnp.int32), col.astype(jnp.int32)
+
+
 def _expand_keys_xla(pre: PreprocessOut, counts, rect_w, n: int, max_dup: int,
                      rank_bits: int, key_invalid, grid_x: int,
-                     split_key: bool = False):
+                     split_key: bool = False, packed=None):
     """XLA twin of pallas/expand.py: scatter-marks + cummax slot map, 8-column table
     row-gather, elementwise key math (~43ms at 1M/4.2M on v5e — the expand kernel
     does the same join in ~1/6 the time; kept as the reference twin and the fallback
-    for budgets that don't divide the kernel's 4096-slot grid)."""
+    for budgets that don't divide the kernel's 4096-slot grid).
+
+    packed: optional [H_CAP, N] per-row interval table (preprocess.row_intervals)
+    — `counts` must then be the interval counts."""
     g, offsets, total = _expand_by_counts(counts, max_dup)
     rank = jnp.zeros((n,), jnp.uint32).at[jnp.argsort(pre.depth, stable=True)].set(
         jnp.arange(n, dtype=jnp.uint32))
-    table = jnp.stack(
-        [
-            offsets.astype(jnp.float32),
-            counts.astype(jnp.float32),
-            pre.rect_min[:, 0].astype(jnp.float32),
-            pre.rect_min[:, 1].astype(jnp.float32),
-            rect_w.astype(jnp.float32),
-            1.0 / rect_w.astype(jnp.float32),
-            rank.astype(jnp.float32),
-            jnp.zeros((n,), jnp.float32),
-        ],
-        axis=-1,
-    )
-    row = table[g]                                     # [max_dup, 8]
+    cols = [
+        offsets.astype(jnp.float32),
+        counts.astype(jnp.float32),
+        pre.rect_min[:, 0].astype(jnp.float32),
+        pre.rect_min[:, 1].astype(jnp.float32),
+        rect_w.astype(jnp.float32),
+        1.0 / rect_w.astype(jnp.float32),
+        rank.astype(jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+    ]
+    if packed is not None:
+        cols += [packed[k] for k in range(packed.shape[0])]
+    table = jnp.stack(cols, axis=-1)
+    row = table[g]                                     # [max_dup, 8(+H_CAP)]
     offs_g = row[:, 0].astype(jnp.int32)
     counts_g = row[:, 1].astype(jnp.int32)
     rx_g = row[:, 2].astype(jnp.int32)
@@ -208,10 +285,14 @@ def _expand_keys_xla(pre: PreprocessOut, counts, rect_w, n: int, max_dup: int,
 
     slot = jnp.arange(max_dup, dtype=jnp.int32) - offs_g
     valid = (slot < counts_g) & (jnp.arange(max_dup) < total)
-    q = jnp.floor(slot.astype(jnp.float32) * row[:, 5]).astype(jnp.int32)
-    r = slot - q * wg
-    q = jnp.where(r < 0, q - 1, jnp.where(r >= wg, q + 1, q))
-    r = slot - q * wg
+    if packed is not None:
+        packed_g = [row[:, 8 + k] for k in range(packed.shape[0])]
+        q, r = _row_col_from_intervals(slot, packed_g, wg)
+    else:
+        q = jnp.floor(slot.astype(jnp.float32) * row[:, 5]).astype(jnp.int32)
+        r = slot - q * wg
+        q = jnp.where(r < 0, q - 1, jnp.where(r >= wg, q + 1, q))
+        r = slot - q * wg
     tile = ((ry_g + q) * grid_x + rx_g + r).astype(jnp.uint32)
     if split_key:
         inval = jnp.uint32(0xFFFFFFFF)
@@ -225,7 +306,8 @@ def bin_gaussians_aligned(pre: PreprocessOut, grid_x: int, grid_y: int,
                           max_dup: int, chunk: int, interpret: bool = False,
                           use_expand_kernel: bool = True,
                           slack: int = 512,
-                          force_split_key: bool = False) -> AlignedEntries:
+                          force_split_key: bool = False,
+                          intervals=None) -> AlignedEntries:
     """One-sort binning that lands DIRECTLY in the chunk-aligned layout the Pallas
     kernels stream — replacing bin_gaussians + align_entries (which cost a second
     4.8M-entry re-index: scatter-marks, cummax, and two big gathers, ~75ms at 1M
@@ -274,8 +356,19 @@ def bin_gaussians_aligned(pre: PreprocessOut, grid_x: int, grid_y: int,
     rank_sentinel = jnp.uint32((1 << rank_bits) - 1)
     key_invalid = jnp.uint32(0xFFFFFFFF)
 
+    # Per-row ellipse intervals (preprocess.row_intervals): drop (Gaussian,
+    # tile) pairs whose whole tile sits outside the alpha >= 1/255 ellipse —
+    # bitwise-free (both compositors skip them with zero gradients). Only the
+    # packed-payload sort path carries the interval table; other configurations
+    # fall back to rects.
+    use_intervals = (intervals is not None and grid_x < 128 and grid_y < 128
+                     and n < (1 << 24))
+
     # --- per-tile counts + aligned segment offsets (no expansion needed) ---
-    count_t = tile_histogram(pre, grid_x, grid_y)
+    if use_intervals:
+        count_t = tile_histogram_intervals(pre, intervals[1], grid_x, grid_y)
+    else:
+        count_t = tile_histogram(pre, grid_x, grid_y)
     seg = ((count_t + chunk - 1) // chunk) * chunk
     seg_end = jnp.cumsum(seg).astype(jnp.int32)
     aligned_start = seg_end - seg
@@ -284,7 +377,8 @@ def bin_gaussians_aligned(pre: PreprocessOut, grid_x: int, grid_y: int,
     tile_count = jnp.minimum(count_t, d_aligned - tile_start)
 
     # --- real entries: slot-major expansion over Gaussians ---
-    counts = pre.tiles_touched.astype(jnp.int32)
+    counts = (intervals[0] if use_intervals
+              else pre.tiles_touched).astype(jnp.int32)
     rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
     if use_expand_kernel and max_dup % 4096 == 0 and max_dup < (1 << 23):
         from .pallas.expand import expand_entries
@@ -311,19 +405,41 @@ def bin_gaussians_aligned(pre: PreprocessOut, grid_x: int, grid_y: int,
             # so no NaN/Inf canonicalization either.
             BIAS = jnp.uint32(1 << 30)
             as_f = lambda u: jax.lax.bitcast_convert_type(u | BIAS, jnp.float32)
-            pair = jax.lax.complex(as_f(packed),
-                                   as_f(jnp.arange(n, dtype=jnp.uint32)))
-            dk_s, pair_s = jax.lax.sort((depth_key, pair), num_keys=1,
-                                        is_stable=True)
             un_f = lambda f: jax.lax.bitcast_convert_type(f, jnp.uint32) & ~BIAS
+            ops = (depth_key,
+                   jax.lax.complex(as_f(packed),
+                                   as_f(jnp.arange(n, dtype=jnp.uint32))))
+            if use_intervals:
+                # Interval rows ride TWO more c64 payloads: p_j < 2^14, packed
+                # pairwise into 28-bit u32s (BIAS keeps the bit patterns normal
+                # floats, comment above).
+                pk = intervals[1].astype(jnp.uint32)  # [H_CAP, N] ints < 2^14
+                pv = [pk[2 * k] | (pk[2 * k + 1] << 14) for k in range(4)]
+                ops = ops + (jax.lax.complex(as_f(pv[0]), as_f(pv[1])),
+                             jax.lax.complex(as_f(pv[2]), as_f(pv[3])))
+            out_s = jax.lax.sort(ops, num_keys=1, is_stable=True)
+            dk_s, pair_s = out_s[0], out_s[1]
             packed_s = un_f(jnp.real(pair_s))
             oid_s = un_f(jnp.imag(pair_s)).astype(jnp.int32)
             rx_s = (packed_s & 0x7F).astype(jnp.int32)
             ry_s = ((packed_s >> 7) & 0x7F).astype(jnp.int32)
             w_s = ((packed_s >> 14) & 0x7F).astype(jnp.int32)
             h_s = ((packed_s >> 21) & 0x7F).astype(jnp.int32)
-            # Culled rows carry depth_key = inf: gate their counts back to 0.
-            cnt_s = jnp.where(jnp.isfinite(dk_s), w_s * h_s, 0)
+            if use_intervals:
+                pv_s = [un_f(jnp.real(out_s[2])), un_f(jnp.imag(out_s[2])),
+                        un_f(jnp.real(out_s[3])), un_f(jnp.imag(out_s[3]))]
+                p_s = []
+                for k in range(4):
+                    p_s += [(pv_s[k] & 0x3FFF).astype(jnp.float32),
+                            ((pv_s[k] >> 14) & 0x3FFF).astype(jnp.float32)]
+                wsum = sum(jnp.floor(p / 128.0) for p in p_s)
+                from .preprocess import H_CAP
+
+                cnt_s = (wsum + jnp.maximum(h_s - H_CAP, 0) * w_s).astype(jnp.int32)
+                cnt_s = jnp.where(jnp.isfinite(dk_s), cnt_s, 0)
+            else:
+                # Culled rows carry depth_key = inf: gate their counts back to 0.
+                cnt_s = jnp.where(jnp.isfinite(dk_s), w_s * h_s, 0)
         else:
             _, cnt_s, rx_s, ry_s, w_s, oid_s = jax.lax.sort(
                 (depth_key, counts, pre.rect_min[:, 0], pre.rect_min[:, 1],
@@ -332,28 +448,31 @@ def bin_gaussians_aligned(pre: PreprocessOut, grid_x: int, grid_y: int,
         offs_s = (jnp.cumsum(cnt_s) - cnt_s).astype(jnp.int32)
         total = (offs_s[-1] + cnt_s[-1]).astype(jnp.int32) if n > 0 else jnp.int32(0)
         offs_f = offs_s.astype(jnp.float32)
-        table_t = jnp.stack(
-            [offs_f, rx_s.astype(jnp.float32), ry_s.astype(jnp.float32),
-             w_s.astype(jnp.float32), oid_s.astype(jnp.float32),
-             jnp.arange(n, dtype=jnp.float32),
-             jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32)],
-            axis=0,
-        )
+        rows = [offs_f, rx_s.astype(jnp.float32), ry_s.astype(jnp.float32),
+                w_s.astype(jnp.float32), oid_s.astype(jnp.float32),
+                jnp.arange(n, dtype=jnp.float32),
+                jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32)]
+        if use_intervals:
+            rows += p_s
+        table_t = jnp.stack(rows, axis=0)
         out = expand_entries(table_t, offs_f, total, max_dup, rank_bits,
-                             grid_x, interpret=interpret, split_key=split_key)
+                             grid_x, interpret=interpret, split_key=split_key,
+                             intervals=use_intervals)
         if split_key:
             tile_real, rank_real, g = out
         else:
             key_real, g = out
     else:
+        pk = intervals[1] if use_intervals else None
         if split_key:
             tile_real, rank_real, g, total = _expand_keys_xla(
                 pre, counts, rect_w, n, max_dup, rank_bits, key_invalid, grid_x,
-                split_key=True)
+                split_key=True, packed=pk)
         else:
             key_real, g, total = _expand_keys_xla(pre, counts, rect_w, n,
                                                   max_dup, rank_bits,
-                                                  key_invalid, grid_x)
+                                                  key_invalid, grid_x,
+                                                  packed=pk)
 
     # --- pad entries: expansion over tiles (budget num_tiles * chunk) ---
     pad_t = (seg - tile_count).astype(jnp.int32)  # clamped count keeps pads in range

@@ -57,9 +57,10 @@ def _split3(x):
 
 def _expand_kernel(g0s_ref, total_ref, tbl_hbm, keys_ref, gid_ref, rank_ref,
                    scr, sems, b_smem, *, rank_bits, grid_x, n_super,
-                   split_key):
+                   split_key, intervals):
     c = pl.program_id(0)
     total = total_ref[0].astype(jnp.float32)
+    R = 16 if intervals else 8
 
     def fetch(block, slot):
         return pltpu.make_async_copy(
@@ -91,9 +92,9 @@ def _expand_kernel(g0s_ref, total_ref, tbl_hbm, keys_ref, gid_ref, rank_ref,
             b_smem[0] = b0 + 1
 
         b = b_smem[0]
-        cur = scr[jax.lax.rem(b, 3)]            # [8, BLOCK]
+        cur = scr[jax.lax.rem(b, 3)]            # [R, BLOCK]
         nxt = scr[jax.lax.rem(b + 1, 3)]
-        tbl = jnp.concatenate([cur, nxt], axis=1)           # [8, 2B]
+        tbl = jnp.concatenate([cur, nxt], axis=1)           # [R, 2B]
         offs = tbl[0:1, :]                                  # [1, 2B]
         offs_next = jnp.concatenate(
             [offs[:, 1:], jnp.full((1, 1), OFFS_PAD, jnp.float32)], axis=1)
@@ -105,21 +106,51 @@ def _expand_kernel(g0s_ref, total_ref, tbl_hbm, keys_ref, gid_ref, rank_ref,
         mb = jnp.where(m, 1.0, 0.0).astype(jnp.bfloat16)
 
         # Gather all table columns for each slot: one MXU matmul, exact (one-hot x
-        # Dekker-split integers < 2^24). [SC, 2B] x [24, 2B] -> [SC, 24].
+        # Dekker-split integers < 2^24). [SC, 2B] x [3R, 2B] -> [SC, 3R].
         g24 = jax.lax.dot_general(mb, _split3(tbl), (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
 
         def col(j):
-            return g24[:, j:j + 1] + g24[:, 8 + j:8 + j + 1] + g24[:, 16 + j:16 + j + 1]
+            return (g24[:, j:j + 1] + g24[:, R + j:R + j + 1]
+                    + g24[:, 2 * R + j:2 * R + j + 1])
 
         offs_g, rx, ry, w, oid, rank = (col(j) for j in range(6))
         w = jnp.maximum(w, 1.0)  # unmatched (invalid) slots gather zeros
         slot_loc = slots - offs_g
-        # Row-major rect walk: q = slot_loc // w via reciprocal + one correction.
-        q = jnp.floor(slot_loc * (1.0 / w))
-        r = slot_loc - q * w
-        q = jnp.where(r < 0, q - 1, jnp.where(r >= w, q + 1, q))
-        r = slot_loc - q * w
+        if intervals:
+            # Per-row interval walk (ops/binning._row_col_from_intervals — the
+            # twin computes the IDENTICAL elementwise chain): packed_j carries
+            # txl_rel + 128*w_j for the first 8 tile rows; deeper rows fall
+            # back to the full-rect walk. All values exact small ints in f32
+            # (1/128 is a power of two: products and floors exact).
+            ps = [col(8 + k) for k in range(8)]
+            wj = [jnp.floor(p * (1.0 / 128.0)) for p in ps]
+            txl = [ps[k] - 128.0 * wj[k] for k in range(8)]
+            cum = []
+            acc = jnp.zeros_like(slot_loc)
+            for k in range(8):
+                cum.append(acc)
+                acc = acc + wj[k]
+            c8 = acc
+            in_cap = slot_loc < c8
+            row8 = sum(jnp.where(slot_loc >= cum[k], 1.0, 0.0)
+                       for k in range(1, 8))
+            sel = lambda vals: sum(
+                jnp.where(row8 == k, vals[k], 0.0) for k in range(8))
+            col8 = sel(txl) + slot_loc - sel(cum)
+            tail = slot_loc - c8
+            q = jnp.floor(tail * (1.0 / w))
+            r = tail - q * w
+            q = jnp.where(r < 0, q - 1, jnp.where(r >= w, q + 1, q))
+            r = tail - q * w
+            q = jnp.where(in_cap, row8, 8.0 + q)
+            r = jnp.where(in_cap, col8, r)
+        else:
+            # Row-major rect walk: q = slot_loc // w via reciprocal + one correction.
+            q = jnp.floor(slot_loc * (1.0 / w))
+            r = slot_loc - q * w
+            q = jnp.where(r < 0, q - 1, jnp.where(r >= w, q + 1, q))
+            r = slot_loc - q * w
         tile = (ry + q) * jnp.float32(grid_x) + rx + r      # exact, < 2^24
 
         valid = slots < total
@@ -144,7 +175,8 @@ def _expand_kernel(g0s_ref, total_ref, tbl_hbm, keys_ref, gid_ref, rank_ref,
 
 def expand_entries(table_t: jnp.ndarray, offs_live: jnp.ndarray, total: jnp.ndarray,
                    max_dup: int, rank_bits: int, grid_x: int,
-                   interpret: bool = False, split_key: bool = False):
+                   interpret: bool = False, split_key: bool = False,
+                   intervals: bool = False):
     """Expand depth-ranked rows into per-slot (key, gauss_id).
 
     Args:
@@ -165,13 +197,15 @@ def expand_entries(table_t: jnp.ndarray, offs_live: jnp.ndarray, total: jnp.ndar
     """
     if max_dup % SUPER != 0:
         raise ValueError(f"max_dup must be a multiple of {SUPER}")
+    R = 16 if intervals else 8
+    assert table_t.shape[0] == R, (table_t.shape, intervals)
     n = table_t.shape[1]
     n_super = max_dup // SUPER
     n_sub = max_dup // SC
     sub_per = SUPER // SC
 
     n_pad = ((n + BLOCK - 1) // BLOCK + 3) * BLOCK
-    pad = jnp.zeros((8, n_pad - n), jnp.float32).at[0, :].set(OFFS_PAD)
+    pad = jnp.zeros((R, n_pad - n), jnp.float32).at[0, :].set(OFFS_PAD)
     tbl = jnp.concatenate([table_t, pad], axis=1)
 
     # First matching row per sub-chunk; queries clamped to the last live slot so g0
@@ -191,13 +225,14 @@ def expand_entries(table_t: jnp.ndarray, offs_live: jnp.ndarray, total: jnp.ndar
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[blk(), blk(), blk()],
         scratch_shapes=[
-            pltpu.VMEM((3, 8, BLOCK), jnp.float32),
+            pltpu.VMEM((3, R, BLOCK), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
     kernel = functools.partial(_expand_kernel, rank_bits=rank_bits, grid_x=grid_x,
-                               n_super=n_super, split_key=split_key)
+                               n_super=n_super, split_key=split_key,
+                               intervals=intervals)
     out_sh = jax.ShapeDtypeStruct((n_super, SC, sub_per), jnp.int32)
     keys, gid, rank = pl.pallas_call(
         kernel,

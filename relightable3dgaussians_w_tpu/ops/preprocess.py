@@ -228,3 +228,80 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
         rect_max=jnp.stack([rx_max, ry_max], axis=-1),
         cov3d=cov3d,
     )
+
+
+H_CAP = 8          # tile rows with exact per-row intervals; deeper rows fall
+                   # back to the full rect width (rare at 16px tiles)
+INTERVAL_MARGIN = 1.0  # px of conservative slack on each interval end
+
+
+def row_intervals(pre: PreprocessOut, opacities: jnp.ndarray, tile: int = 16):
+    """Exact per-tile-row x-intervals of each Gaussian's contributing region.
+
+    The region where alpha = op * exp(power) can reach 1/255 is the ellipse
+    d^T conic d <= rho^2 with rho^2 = 2 ln(255 op); outside it BOTH compositors
+    skip the entry with exactly-zero gradients (forward.cu:329-335,
+    backward.cu:490-496), so dropping those (Gaussian, tile) pairs is
+    image- and gradient-bitwise-free. Cut by a horizontal tile-row band the
+    region is a contiguous x-interval; this returns, for the first H_CAP rows
+    of each rect, that interval as packed txl_rel | (w << 7) (both < 128,
+    exact in f32), plus the resulting exact entry count.
+
+    Conservative by construction: continuous-coordinate extent (>= the pixel-
+    center extent), INTERVAL_MARGIN px of slack each side, clamped to the
+    opacity-tightened rect. Rows past H_CAP keep the full rect width.
+
+    Returns:
+        counts: [N] int32 exact per-Gaussian entry count (0 where
+            tiles_touched == 0).
+        packed: [H_CAP, N] f32 integers txl_rel + 128 * w_j.
+    """
+    op = opacities[:, 0] if opacities.ndim == 2 else opacities
+    op = jax.lax.stop_gradient(op)
+    m = jax.lax.stop_gradient(pre.mean2d)
+    conic = jax.lax.stop_gradient(pre.conic)
+    a, b, c = conic[:, 0], conic[:, 1], conic[:, 2]
+    mx, my = m[:, 0], m[:, 1]
+    x0 = pre.rect_min[:, 0]
+    y0 = pre.rect_min[:, 1]
+    x1 = pre.rect_max[:, 0]
+    y1 = pre.rect_max[:, 1]
+    h = y1 - y0
+    w_full = jnp.maximum(x1 - x0, 0)
+
+    rho2 = jnp.maximum(2.0 * jnp.log(255.0 * jnp.maximum(op, 1e-12)), 0.0)
+    det_c = jnp.maximum(a * c - b * b, 1e-30)
+    a_s = jnp.maximum(a, 1e-30)
+    dx_max = jnp.sqrt(jnp.maximum(rho2 * c / det_c, 0.0))
+    dy_at_xmax = -(b / jnp.maximum(c, 1e-30)) * dx_max
+    dy_max = jnp.sqrt(jnp.maximum(rho2 * a / det_c, 0.0))
+
+    counts = jnp.zeros_like(w_full)
+    packed_rows = []
+    for j in range(H_CAP):
+        ty = y0 + j
+        live = j < h
+        dy0 = ty.astype(jnp.float32) * tile - my
+        dy1 = dy0 + (tile - 1)
+        lo = jnp.maximum(dy0, -dy_max)
+        hi = jnp.minimum(dy1, dy_max)
+        nonempty = lo <= hi
+        # x+ is concave in dy (upper ellipse boundary): band max at the clamped
+        # argmax; x- is convex: band min at the clamped argmin (-dy_at_xmax).
+        dyp = jnp.clip(dy_at_xmax, lo, hi)
+        sp = jnp.maximum(a_s * rho2 - det_c * dyp * dyp, 0.0)
+        x_hi = mx + (-b * dyp + jnp.sqrt(sp)) / a_s + INTERVAL_MARGIN
+        dym = jnp.clip(-dy_at_xmax, lo, hi)
+        sm = jnp.maximum(a_s * rho2 - det_c * dym * dym, 0.0)
+        x_lo = mx + (-b * dym - jnp.sqrt(sm)) / a_s - INTERVAL_MARGIN
+        txl = jnp.maximum(jnp.floor(x_lo / tile).astype(jnp.int32), x0)
+        txh = jnp.minimum(jnp.floor(x_hi / tile).astype(jnp.int32) + 1, x1)
+        wj = jnp.clip(txh - txl, 0, w_full)
+        wj = jnp.where(live & nonempty, wj, 0)
+        txl_rel = jnp.clip(txl - x0, 0, 127)
+        counts = counts + wj
+        packed_rows.append(
+            jnp.where(wj > 0, txl_rel + 128 * wj, 0).astype(jnp.float32))
+    counts = counts + jnp.maximum(h - H_CAP, 0) * w_full
+    counts = jnp.where(pre.tiles_touched > 0, counts, 0).astype(jnp.int32)
+    return counts, jnp.stack(packed_rows, axis=0)

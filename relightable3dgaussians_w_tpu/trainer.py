@@ -151,6 +151,7 @@ class Relightable3DGWTrainer:
             tile_chunk=cfg.runtime.tile_chunk,
             pallas_chunk=cfg.runtime.pallas_chunk,
             use_pallas=cfg.runtime.use_pallas and jax.default_backend() == "tpu",
+            row_intervals=cfg.runtime.row_intervals,
         )
         self.fns = make_train_fns(self.mlp, cfg, self.rcfg,
                                   split_dispatch=cfg.runtime.split_dispatch)

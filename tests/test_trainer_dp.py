@@ -78,3 +78,16 @@ def test_trainer_dp_mesh(tmp_path):
     # Same data, same loss stack, different batching semantics (B parallel
     # gradients -> sequential microsteps): quality lands within noise.
     assert abs(psnr_dp - psnr_ref) < 3.0, (psnr_dp, psnr_ref)
+
+
+def test_schedule_crossing():
+    """Stride-B steps must fire schedule events exactly once per crossed
+    multiple (the reference's per-image cadence, train.py:142-157)."""
+    from relightable3dgaussians_w_tpu.trainer import Relightable3DGWTrainer as T
+
+    fires = [it for prev, it in zip(range(0, 100, 4), range(4, 104, 4))
+             if T._crossed(10, prev, it)]
+    assert fires == [12, 20, 32, 40, 52, 60, 72, 80, 92, 100]
+    # stride 1 reduces to `it % n == 0`
+    assert [it for it in range(1, 31) if T._crossed(10, it - 1, it)] == [10, 20, 30]
+    assert not T._crossed(0, 0, 10)  # disabled interval never fires
