@@ -92,9 +92,12 @@ class RuntimeConfig:
     tile_chunk: int = 8
     pallas_chunk: int = 512           # entries per streamed composite chunk
                                       # (512 measured fastest at 800^2 on v5e)
-    row_intervals: bool = True        # exact per-tile-row ellipse culling in
-                                      # binning — image/grad-free, cuts entries
-                                      # ~30% on anisotropic (trained) splats
+    row_intervals: bool = False       # exact per-tile-row ellipse culling in
+                                      # binning — image/grad-free; enable for
+                                      # strongly anisotropic scenes (cuts
+                                      # entries ~31% at 8x aniso, -9% iter
+                                      # time; the interval machinery costs
+                                      # ~+3% on isotropic scenes)
     seed: int = 0
     data_parallel: int = 0            # devices on the `data` (camera-batch) mesh
                                       # axis; 0/1 = single-device reference loop
