@@ -86,7 +86,13 @@ class RuntimeConfig:
     """TPU-framework-specific knobs with no reference counterpart."""
     pool_capacity: int = 0            # 0 => auto from initial point count
     pool_headroom: float = 8.0        # capacity = headroom * n_init (when auto)
-    max_dup: int = 1 << 21            # rasterizer entry budget
+    max_dup: int = 1 << 21            # rasterizer entry budget; 0 = size from
+                                      # the scene's measured demand at startup
+                                      # (x1.3 headroom; overflow healing still
+                                      # grows it geometrically) — sort/gather/
+                                      # segment-sum cost scales with this
+                                      # STATIC budget, so right-sizing it is
+                                      # a direct iteration-time win
     max_tiles_per_gauss: int = 64
     lmax_per_tile: int = 2048
     tile_chunk: int = 8

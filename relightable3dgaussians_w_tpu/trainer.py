@@ -143,9 +143,12 @@ class Relightable3DGWTrainer:
         self.state = TrainState(params=params, gauss_state=gstate, opt_state=opt_state,
                                 step=jnp.asarray(0))
 
+        max_dup = cfg.runtime.max_dup
+        if max_dup == 0:
+            max_dup = self._demand_sized_max_dup()
         self.rcfg = RasterizerConfig(
             width=self.W, height=self.H,
-            max_dup=cfg.runtime.max_dup,
+            max_dup=max_dup,
             max_tiles_per_gauss=cfg.runtime.max_tiles_per_gauss,
             lmax_per_tile=cfg.runtime.lmax_per_tile,
             tile_chunk=cfg.runtime.tile_chunk,
@@ -345,6 +348,38 @@ class Relightable3DGWTrainer:
         self.profiler.close()
         self.logger.close()
         return self.state
+
+    def _demand_sized_max_dup(self) -> int:
+        """Size the static entry budget from the scene's measured duplicate
+        demand (the analog of the reference sizing its key buffer from the
+        scanned count, rasterizer_impl.cu:280-285): max over a few cameras of
+        the opacity-tightened tile-entry total, x1.3 headroom for densification
+        growth. Overflow healing still grows it geometrically (log-bounded
+        re-jits), so starting tight is safe — and since sort/gather/segment-sum
+        cost scales with the STATIC budget (BENCH_LOG r4), starting tight is
+        the fast configuration."""
+        from .ops.preprocess import preprocess as _pp
+
+        p = self.state.params["gaussians"]
+        s = self.state.gauss_state
+        xyz = G.get_xyz(p, s)
+        scales = G.get_scaling(p)
+        quats = G.get_rotation(p)
+        op = G.get_opacity(p, s)[:, 0] * s.alive
+
+        @jax.jit
+        def demand(cam_mats):
+            pre = _pp(xyz, scales, quats, cam_mats.viewmat, cam_mats.projmat,
+                      cam_mats.tan_fovx, cam_mats.tan_fovy, self.W, self.H, 16,
+                      opacities=op)
+            return jnp.sum(pre.tiles_touched)
+
+        probe_views = self.train_views[:: max(len(self.train_views) // 8, 1)][:8]
+        total = max(int(demand(v["cam"].matrices())) for v in probe_views)
+        max_dup = min(max(((int(total * 1.3) + 4095) // 4096) * 4096, 1 << 15),
+                      1 << 23)
+        print(f"entry budget: measured demand ~{total} -> max_dup={max_dup}")
+        return max_dup
 
     def _heal_binning_overflow(self, it: int, n_over: int):
         """Grow the static entry budget after a binning overflow (whose update was
