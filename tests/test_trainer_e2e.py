@@ -148,3 +148,30 @@ def test_load_gaussians_ply_roundtrip(tmp_path):
     assert int(jnp.sum(state.alive)) == n
     np.testing.assert_allclose(float(params.sky_radius), 5.0)
     np.testing.assert_allclose(np.asarray(state.sky_center), [0, 1, 2])
+
+
+def test_demand_sized_entry_budget(tmp_path):
+    """runtime.max_dup=0 sizes the static entry budget from measured scene
+    demand (x1.3 headroom, 4096-rounded) instead of the fixed default —
+    sort/gather/segment-sum cost scales with this static budget (BENCH_LOG r4)."""
+    data = str(tmp_path / "scene")
+    make_dataset(data)
+
+    from relightable3dgaussians_w_tpu.trainer import Relightable3DGWTrainer
+    from relightable3dgaussians_w_tpu.config import Config
+
+    cfg = Config()
+    cfg.dataset.source_path = data
+    cfg.dataset.model_path = str(tmp_path / "out")
+    cfg.optimizer.reg_normal_from_iter = 0
+    cfg.runtime.pool_capacity = 4096
+    cfg.runtime.max_dup = 0
+    cfg.runtime.max_tiles_per_gauss = 16
+    cfg.runtime.lmax_per_tile = 256
+    cfg.runtime.tile_chunk = 4
+
+    trainer = Relightable3DGWTrainer(cfg)
+    assert trainer.rcfg.max_dup % 4096 == 0
+    assert (1 << 15) <= trainer.rcfg.max_dup <= (1 << 23)
+    trainer.train(iterations=3, save_iterations=(), log_every=2,
+                  test_iterations=())
