@@ -89,8 +89,6 @@ def run(n, W, H, aniso=None, seed=0):
         W, H, 16, opacities=jnp.asarray(opac))
     op = jnp.asarray(opac)
     rho2 = jnp.maximum(2.0 * jnp.log(255.0 * jnp.maximum(op, 1e-12)), 0.0)
-    pre = pre._replace()
-    object.__setattr__  # noqa
     pre_d = pre._asdict()
     pre_d["_rho2"] = rho2
 

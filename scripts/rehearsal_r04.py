@@ -95,7 +95,7 @@ def render_gt_views(src, res, n_views, seed=0):
         fh.write("# points\n")
         for i, p in enumerate(sub):
             fh.write(f"{i+1} {p[0]} {p[1]} {p[2]} 128 128 128 0.5 1 0\n")
-    return float(np.mean([0.0]))
+
 
 
 def main(iters=3000, res=256):
