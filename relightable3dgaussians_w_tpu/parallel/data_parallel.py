@@ -132,8 +132,9 @@ def make_per_image_grads(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig,
 
         Gradient semantics (exact, not approximate): core_loss runs with
         pool_axis="gauss" — the local loss is the global per-image loss / D,
-        psum'd back here, so pool-shard grads and the psum'd net grads equal
-        the single-device values (see core_loss's docstring)."""
+        psum'd back here — so pool-shard grads and the (auto-gauss-psum'd)
+        net grads equal the single-device values to reduction order
+        (measured ~1e-6 rel across all parameter groups)."""
         from ..ops.rasterize import RasterizeAux
         from .gauss_shard import default_rows_per_band, rasterize_gauss_shard_local
 

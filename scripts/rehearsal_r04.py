@@ -139,7 +139,8 @@ def main(iters=3000, res=256):
         f"optimizer.densify_until_iter={iters // 2}",
         "optimizer.opacity_reset_interval=1000000000",
         "optimizer.reg_normal_from_iter=400",
-        "runtime.pool_capacity=65536", "runtime.max_dup=262144",
+        "runtime.pool_capacity=65536",
+        f"runtime.max_dup={262144 * max(res // 256, 1) ** 2}",
         "runtime.lmax_per_tile=1024", "runtime.tile_chunk=8",
         "model.init_embeddings=false", "model.init_sh_mlp=false",
     ])
@@ -160,11 +161,12 @@ def main(iters=3000, res=256):
     import jax
 
     summary["backend"] = jax.default_backend()
+    out_name = os.environ.get("REHEARSAL_OUT", "REHEARSAL_r04.json")
     out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "REHEARSAL_r04.json")
+        os.path.abspath(__file__))), out_name)
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1, default=str)
-    print("wrote REHEARSAL_r04.json:", json.dumps(summary, default=str)[:400])
+    print(f"wrote {out_name}:", json.dumps(summary, default=str)[:400])
     ok = summary["train_psnr_best"] >= 20.0
     if not ok:
         print(f"REHEARSAL FAILED: best train PSNR "
