@@ -103,6 +103,27 @@ def _contract_lanes(a, b):
                                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
 
+def _dekker2(x, axis=0):
+    """One-sided 2-term Dekker split: x = hi + mid (each bf16) to ~2^-16 rel,
+    stacked along `axis` for a single MXU call."""
+    hi = x.astype(jnp.bfloat16)
+    mid = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, mid], axis=axis)
+
+
+def _contract_lanes2(a, b):
+    """a: [P, K], b: [C, K] -> [P, C] contracting lanes via 2x2 Dekker-split bf16
+    blocks, dropping the mid x mid term (~2^-17 rel — gradient/color-accumulation
+    accuracy, NOT for predicate-feeding values). One MXU call whose [2P, 2C]
+    output rides the same 128-lane column padding as [P, C], so it costs ~2
+    effective passes where precision=HIGHEST costs 6 — exp_r4g measured the
+    HIGHEST color contraction alone at 3.6 ms of the 14.9 ms forward."""
+    p, c = a.shape[0], b.shape[0]
+    o = jax.lax.dot_general(_dekker2(a), _dekker2(b), (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return o[:p, :c] + o[:p, c:] + o[p:, :c]
+
+
 def _dot_exact_rhs(x, U):
     """x @ U where U is EXACTLY representable in bf16 (the 0/1 triangular masks):
     one-sided Dekker split of x into hi/mid bf16 terms — every product on the MXU is
@@ -205,7 +226,7 @@ def _fwd_kernel(starts_ref, counts_ref, feat_hbm, out_ref, tfin_ref,
             w = jnp.where(include, alpha * jnp.exp(excl), 0.0)      # [P, CHUNK]
 
             colors = rows[6 : 6 + channels, :]                       # [C, CHUNK]
-            acc = acc + _contract_lanes(w, colors)                   # [P, C]
+            acc = acc + _contract_lanes2(w, colors)                  # [P, C]
             log_tfin = log_tfin + jnp.sum(jnp.where(include, log1m, 0.0), axis=1, keepdims=True)
             return c_idx + 1, cont, log_praw_new, acc, log_tfin
 
@@ -309,6 +330,10 @@ def _bwd_one_tile(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
     total = total_ref[j]      # [P, 1]
     B = b_ref[j]              # [P, 1]
     tfin = tfin_ref[j]        # [P, 1]
+    # Loop-invariant Dekker splits of the pixel cotangents (see _contract_lanes2:
+    # 2x2 bf16 blocks minus mid x mid replace 6-pass HIGHEST at ~2^-17 rel).
+    gb2r = _dekker2(gbar, 0)  # [2P, C]  (cdotg lhs)
+    gb2c = _dekker2(gbar, 1)  # [P, 2C]  (d_colors lhs)
 
     def get_dma(slot, c_idx):
         return pltpu.make_async_copy(
@@ -372,8 +397,9 @@ def _bwd_one_tile(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
             w = jnp.where(include, alpha * p_prev, 0.0)
 
             colors = rows[6 : 6 + channels, :]                       # [C, CHUNK]
-            cdotg = jnp.dot(gbar, colors, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)     # [P, CHUNK]
+            co = jax.lax.dot(gb2r, _dekker2(colors, 1),
+                             preferred_element_type=jnp.float32)     # [2P, 2CHUNK]
+            cdotg = co[:P, :chunk] + co[P:, :chunk] + co[:P, chunk:]
             wc = w * cdotg
             q_inc = _prefix_exact(wc, False) + q_carry
             S = total - q_inc                                        # suffix sums
@@ -382,11 +408,12 @@ def _bwd_one_tile(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
             d_alpha = jnp.where(
                 contrib, p_prev * cdotg - (S + tfin * B) / (1.0 - alpha), 0.0
             )
-            d_colors = jax.lax.dot_general(                          # [C, CHUNK]
-                gbar, w, (((0,), (0,)), ((), ())),
+            do = jax.lax.dot_general(                                # [2C, 2CHUNK]
+                gb2c, _dekker2(w, 1), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
             )
+            d_colors = (do[:channels, :chunk] + do[channels:, :chunk]
+                        + do[:channels, chunk:])
 
             # All five conic/mean gradients are linear recombinations of six pixel
             # moments of u = dL/dG * G = op * d_alpha * G (saturation gradient

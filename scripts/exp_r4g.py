@@ -183,7 +183,8 @@ def main():
 
     import numpy as np
     outs = {}
-    for mode in ("base", "noprefix", "bigmm", "noacc", "novpu"):
+    import os as _os
+    for mode in _os.environ.get("R4G_MODES", "base,bigmm,noacc,noprefix,novpu").split(","):
         fn = run_variant(mode, feat_t, aligned.tile_start, aligned.tile_count,
                          grid_x=cfg.grid_x, grid_y=cfg.grid_y, channels=3,
                          tile=cfg.tile, chunk=chunk, align=align, tb=tb)
@@ -191,9 +192,10 @@ def main():
                          name=f"fwd variant {mode}")
         outs[mode] = (out, dt)
 
-    rgb_b = np.asarray(outs["base"][0][0])
-    rgb_m = np.asarray(outs["bigmm"][0][0])
-    print(f"bigmm vs base rgb max abs {np.abs(rgb_m-rgb_b).max():.3e}", flush=True)
+    if "base" in outs and "bigmm" in outs:
+        rgb_b = np.asarray(outs["base"][0][0])
+        rgb_m = np.asarray(outs["bigmm"][0][0])
+        print(f"bigmm vs base rgb max abs {np.abs(rgb_m-rgb_b).max():.3e}", flush=True)
 
 
 if __name__ == "__main__":
