@@ -324,7 +324,10 @@ def _bwd_one_tile(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
     px0 = (tx * tile).astype(jnp.float32)
     py0 = (ty * tile).astype(jnp.float32)
     basis = tile_pixel_basis(tile)
-    basisT3 = jnp.concatenate([basis.T] * 3, axis=1).astype(jnp.bfloat16)  # [6, 3P]
+    # 2-term Dekker split of u (~2^-16 rel) matches the gradient-accuracy
+    # budget of the other kernel contractions (_contract_lanes2) at 2/3 the
+    # MXU rows of the original 3-term form; basis is exact in bf16.
+    basisT2 = jnp.concatenate([basis.T] * 2, axis=1).astype(jnp.bfloat16)  # [6, 2P]
 
     gbar = gbar_ref[j]        # [P, C]
     total = total_ref[j]      # [P, 1]
@@ -424,7 +427,7 @@ def _bwd_one_tile(starts_ref, counts_ref, feat_hbm, gbar_ref, total_ref, b_ref,
             # on the VPU. Recombination cancellation is benign: px in [0, tile) so
             # dx ~ mx whenever |mx| is large.
             u = aux["op"] * d_alpha * aux["G"]                       # [P, CHUNK]
-            mom = jax.lax.dot(basisT3, _split3(u),
+            mom = jax.lax.dot(basisT2, _dekker2(u, 0),
                               preferred_element_type=jnp.float32)    # [6, CHUNK]
             M0, Mx, My = mom[0:1], mom[1:2], mom[2:3]
             Mxx, Myy, Mxy = mom[3:4], mom[4:5], mom[5:6]
