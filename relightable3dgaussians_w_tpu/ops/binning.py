@@ -368,6 +368,9 @@ def bin_gaussians_aligned(pre: PreprocessOut, grid_x: int, grid_y: int,
     if use_intervals:
         count_t = tile_histogram_intervals(pre, intervals[1], grid_x, grid_y)
     else:
+        # A Pallas fused-mask histogram was probed and is NOT faster (3.15 vs
+        # 3.06 ms at 1M — XLA already fuses the step masks into the dot; the
+        # cost is the [grid, N] mask generation both forms share, exp_r4h).
         count_t = tile_histogram(pre, grid_x, grid_y)
     seg = ((count_t + chunk - 1) // chunk) * chunk
     seg_end = jnp.cumsum(seg).astype(jnp.int32)
