@@ -34,14 +34,18 @@ def evaluate_dir(renders_dir: str, gt_dir: str, half: bool = False,
     renders = _read_dir(renders_dir)
     gts = _read_dir(gt_dir)
     lpips_fn = make_lpips_fn(lpips_weights)
+    lpips_reason = None
     if lpips_fn is None:
         # Probed r2: no torchvision, no cached torch hub .pth, zero egress — the
         # VGG16 weights npz cannot be produced in this environment. The metric
-        # implementation itself is complete (models/lpips.py); ship
-        # _lpips_vgg16.npz (convert_torch_weights, any networked machine) to
-        # enable it. Reference leg: metrics.py:180-189.
-        print("LPIPS skipped: weights unavailable "
-              "(models/_lpips_vgg16.npz missing; see models/lpips.py)")
+        # implementation itself is complete (models/lpips.py, parity-tested
+        # against a torch twin in tests/test_lpips.py); ship _lpips_vgg16.npz
+        # (convert_torch_weights, any networked machine) to enable it.
+        # Reference leg: metrics.py:180-189.
+        lpips_reason = ("weights unavailable: models/_lpips_vgg16.npz missing "
+                        "(no torchvision/network in this environment; produce "
+                        "it with models/lpips.convert_torch_weights)")
+        print(f"LPIPS skipped: {lpips_reason}")
     per_view = {}
     for name, im in renders.items():
         if name not in gts:
@@ -57,11 +61,20 @@ def evaluate_dir(renders_dir: str, gt_dir: str, half: bool = False,
             "ssim": float(LO.ssim(imc, gtc)),
             "mse": float(LO.img2mse(imc, gtc)),
         }
-        if lpips_fn is not None:
-            entry["lpips"] = float(lpips_fn(imc, gtc))
+        # Explicit null (not absence) when the metric cannot run, so consumers
+        # see "lpips was attempted and is unavailable" rather than a silently
+        # missing key (VERDICT r4 item 7).
+        entry["lpips"] = (float(lpips_fn(imc, gtc)) if lpips_fn is not None
+                          else None)
         per_view[name] = entry
     keys = next(iter(per_view.values())).keys() if per_view else []
-    summary = {k: float(np.mean([v[k] for v in per_view.values()])) for k in keys}
+    summary = {
+        k: (float(np.mean([v[k] for v in per_view.values()]))
+            if all(v[k] is not None for v in per_view.values()) else None)
+        for k in keys
+    }
+    if lpips_reason is not None:
+        summary["lpips_reason"] = lpips_reason
     return {"summary": summary, "per_view": per_view}
 
 

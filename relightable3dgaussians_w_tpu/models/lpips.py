@@ -26,7 +26,10 @@ VGG16_CONVS = [
     (0, 64), (2, 64), (5, 128), (7, 128), (10, 256), (12, 256), (14, 256),
     (17, 512), (19, 512), (21, 512), (24, 512), (26, 512), (28, 512),
 ]
-# Slice points after which LPIPS taps activations (relu1_2 ... relu5_3).
+# Convs whose FOLLOWING relu is a tap point (relu1_2 ... relu5_3): torchvision
+# .features puts each relu at conv_index + 1, so the activation is collected at
+# li == conv + 1 in the layer walk below (lpips v0.1 vgg slices end at features
+# indices 4/9/16/23/30 exclusive, networks.py:60-97).
 VGG16_TAPS = {2: 0, 7: 1, 14: 2, 21: 3, 28: 4}
 MAXPOOL_AFTER = {4, 9, 16, 23, 30}
 
@@ -68,8 +71,13 @@ def _vgg_features(x: jnp.ndarray, w: dict) -> list[jnp.ndarray]:
             continue
         else:
             h = jax.nn.relu(h)
-            if li in VGG16_TAPS:
+            # relu layers sit at conv_index + 1: tap relu{1_2,2_2,3_3,4_3,5_3}
+            # (previously compared li itself against the conv indices — no tap
+            # ever fired and the metric silently returned 0; caught by the
+            # torch-twin parity test, tests/test_lpips.py).
+            if (li - 1) in VGG16_TAPS:
                 taps.append(h)
+    assert len(taps) == 5, f"expected 5 VGG taps, got {len(taps)}"
     return taps
 
 
