@@ -81,16 +81,6 @@ def _chunk_alpha(rows, valid_len, tile, px0, py0, chunk):
     return alpha, dict(G=G, skip=skip, op=op, ca=ca, cb=cb, cc=cc)
 
 
-def _split3(x):
-    """One-sided Dekker split along sublanes: [R, L] f32 -> [3R, L] bf16 with
-    x = hi + mid + lo exactly (each term bf16; residuals formed in f32)."""
-    hi = x.astype(jnp.bfloat16)
-    r1 = x - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.concatenate([hi, mid, lo], axis=0)
-
-
 def _triu(chunk, strict):
     r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
@@ -98,7 +88,12 @@ def _triu(chunk, strict):
 
 
 def _contract_lanes(a, b):
-    """a: [P, K], b: [C, K] -> [P, C] contracting the lane dim."""
+    """a: [P, K], b: [C, K] -> [P, C] contracting the lane dim.
+
+    NOT a live kernel path: this is the HIGHEST-precision reference twin kept
+    as the oracle for the accuracy pin (tests/test_kernel_contractions.py) —
+    the kernels contract via _contract_lanes2 (2-term Dekker, ~3x cheaper on
+    the MXU). Do not delete without moving the pin's oracle."""
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 

@@ -22,7 +22,10 @@ def test_contract_lanes2_accuracy():
     scale = np.abs(a)[:, None, :] * np.abs(b)[None, :, :]
     denom = np.maximum(scale.sum(-1), 1e-20)      # |a||b| row-col mass
     rel = np.abs(out - ref) / denom
-    assert rel.max() < 2.0 ** -14, rel.max()
+    # ~2^-17 claimed; 2^-16 leaves margin while still failing if a Dekker
+    # cross-term is silently dropped (a 1-term plain-bf16 contraction lands at
+    # ~2^-8 on this distribution) — ADVICE r4.
+    assert rel.max() < 2.0 ** -16, rel.max()
 
 
 def test_dekker2_reconstructs():
