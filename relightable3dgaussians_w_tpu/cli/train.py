@@ -23,6 +23,13 @@ def main(argv=None):
             overrides.append(a)
     cfg = load_config(overrides, yaml_path)
 
+    # Multi-host init FIRST: jax.distributed.initialize must run before any
+    # import touches the XLA backend (parallel/multihost.py). No-op when
+    # runtime.coordinator_address is unset.
+    from ..parallel import multihost
+
+    multihost.maybe_initialize(cfg.runtime)
+
     from ..trainer import Relightable3DGWTrainer
     from ..pretrain import initialize_embeddings_from_dataset, initialize_sh_mlp
     import jax

@@ -104,9 +104,20 @@ class RuntimeConfig:
                                       # entries ~31% at 8x aniso, -9% iter
                                       # time; the interval machinery costs
                                       # ~+3% on isotropic scenes)
+    row_intervals_auto: bool = True   # probe the interval-cut ratio at startup
+                                      # (trainer._probe_entry_demand) and
+                                      # enable row_intervals when the measured
+                                      # cut >= 15% (clears the machinery cost)
     seed: int = 0
     data_parallel: int = 0            # devices on the `data` (camera-batch) mesh
                                       # axis; 0/1 = single-device reference loop
+    coordinator_address: str = ""     # multi-host: "host:port" of process 0 ->
+                                      # jax.distributed.initialize before any
+                                      # backend use (parallel/multihost.py);
+                                      # empty = single-process
+    num_processes: int = 0            # multi-host process count (0 = let jax
+                                      # autodetect from the cluster environment)
+    process_id: int = -1              # this process's id (-1 = autodetect)
     gauss_shards: int = 1             # devices on the `gauss` (pool-rows) axis;
                                       # >1 shards the pool + Adam moments and
                                       # renders via the tile-ownership all-to-all
@@ -118,6 +129,17 @@ class RuntimeConfig:
     viewer_port: int = 0              # >0: serve the network viewer during training
     viewer_ip: str = "127.0.0.1"      # (the reference's --ip/--port, train.py:279-280)
     viewer_protocol: str = "sibr"     # "sibr" (stock SIBR remote viewer) or "json"
+    serve_skip_alpha: float = 1.0 / 255.0  # viewer/serving LOD threshold
+                                      # (RasterizerConfig.skip_alpha): 1/255 =
+                                      # exact. Measured at 1M/800^2 on v5e
+                                      # (exp_r5b/c): 1/16 -> 39.6 ms/frame at
+                                      # 54 dB vs exact (45.3 exact), 1/8 ->
+                                      # 37.7 ms at 46 dB; aniso-8: 101.8 ->
+                                      # 68.8 ms at 45 dB with 1/16
+    eval_halffit_views: int = 2       # test views given a short LEFT-half
+                                      # embedding fit at eval iterations so the
+                                      # training log tracks the PROTOCOL metric
+                                      # (right-half PSNR); 0 disables
 
 
 @dataclass

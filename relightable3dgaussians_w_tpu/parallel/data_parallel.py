@@ -61,16 +61,26 @@ def gauss_sharding(mesh: Mesh, capacity: int):
 
 def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Place the pool (params + Adam moments + masks) over `gauss`, replicate the
-    nets/embeddings."""
+    nets/embeddings. Multi-process safe: host-replicated values are lifted via
+    make_array_from_callback (parallel/multihost.put_global); already-global
+    arrays (post-step re-pin) go through a resharding jit."""
+    from . import multihost
+
     capacity = state.gauss_state.alive.shape[0]
     gspec = gauss_sharding(mesh, capacity)
     rep = NamedSharding(mesh, P())
 
+    def put(a, sharding):
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            # Already a global array from a previous step: reshard on device.
+            return jax.jit(lambda x: x, out_shardings=sharding)(a)
+        return multihost.put_global(a, sharding)
+
     def place_gauss(tree):
-        return jax.tree_util.tree_map(lambda a: jax.device_put(a, gspec(a)), tree)
+        return jax.tree_util.tree_map(lambda a: put(a, gspec(a)), tree)
 
     def place_rep(tree):
-        return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), tree)
+        return jax.tree_util.tree_map(lambda a: put(a, rep), tree)
 
     params = dict(
         gaussians=place_gauss(state.params["gaussians"]),
@@ -86,7 +96,7 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
                 embeddings=place_rep(state.opt_state.nu["embeddings"])),
     )
     gstate = place_gauss(state.gauss_state)
-    return TrainState(params, gstate, opt, jax.device_put(state.step, rep))
+    return TrainState(params, gstate, opt, put(state.step, rep))
 
 
 def make_per_image_grads(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig,
@@ -163,7 +173,7 @@ def make_per_image_grads(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig,
         bspec = jax.tree_util.tree_map(lambda a: P("data"), batch)
 
         def shard_fn(params, gauss_state, probe, batch, keys, step, bg):
-            from .gauss_shard import pvary
+            from .gauss_shard import assert_vma, pvary
 
             # Differentiation semantics inside shard_map: the cotangent of an
             # input that is UNVARYING over a mesh axis is automatically psum'd
@@ -178,6 +188,20 @@ def make_per_image_grads(mlp: MLPNet, cfg: Config, rcfg: RasterizerConfig,
                 lambda x: pvary(x, "data"), t)
             params = pv(params)
             probe = pvary(probe, "data")
+            # bg enters P() (unvarying over BOTH axes). rasterize_gauss_shard_
+            # local promotes it over `gauss` only; the fused step's entry
+            # features are ALSO data-varying (per-camera shading), so the
+            # custom-VJP d_bg cotangent carries {data, gauss} — strict-vma jax
+            # rejects it against a {gauss}-only primal (MULTICHIP_r04.json).
+            # Promote over `data` here; transpose = psum over data, the right
+            # batch-total for a replicated background.
+            bg = pvary(bg, "data")
+            assert_vma(bg, ("data",), "fused shard_fn bg")
+            # Audit of the other custom-VJP-reachable inputs: cam/keys derive
+            # from `batch` (in_spec P("data") → already data-varying), params/
+            # probe are promoted above, and gauss_state only feeds the plain-
+            # autodiff preprocess (no custom VJP). tile_start/tile_end are
+            # nondiff (None cotangents), exempt from vma matching.
             cam = CameraMatrices(
                 viewmat=batch.viewmat[0], projmat=batch.projmat[0],
                 campos=batch.campos[0], tan_fovx=batch.tan_fovx[0],

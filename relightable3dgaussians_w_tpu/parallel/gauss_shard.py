@@ -52,6 +52,26 @@ def pvary(x, axis_name):
     return jax.lax.pvary(x, axis_name)
 
 
+def assert_vma(x, axes, what: str):
+    """Trace-time guard: `x` must be device-varying over every axis in `axes`.
+
+    `jax.typeof(x).vma` reports the varying manual axes on this box's jax 0.9.0
+    even though 0.9.0 does not itself enforce strict vma matching in custom-VJP
+    rules — newer jax (the driver's) does. Asserting here makes the local test
+    suite fail on exactly the under-promotion that would otherwise only surface
+    remotely (MULTICHIP_r03/r04). No-op if vma introspection is unavailable."""
+    try:
+        vma = frozenset(jax.typeof(x).vma)
+    except Exception:
+        return
+    missing = frozenset(axes) - vma
+    if missing:
+        raise ValueError(
+            f"{what}: expected varying manual axes ⊇ {set(axes)}, got "
+            f"{set(vma)} (missing {set(missing)}); promote with pvary before "
+            f"it reaches a custom-VJP input")
+
+
 def _band_records(pre, opacities, colors, gid0, e, band_gy, tile, cap, n_loc):
     """Pack this shard's rows contributing to band `e` into a [cap, R] record
     buffer. Record layout: [mean2d(2) conic(3) op(1) colors(C) depth(1) gid(1)
@@ -155,6 +175,11 @@ def rasterize_gauss_shard_local(means3d, scales, quats, opacities, colors, bg,
     # vma checking (MULTICHIP_r03.json).
     bg = pvary(bg, axis)
     cam = jax.tree_util.tree_map(lambda x: pvary(x, axis), cam)
+    assert_vma(bg, (axis,), "rasterize_gauss_shard_local bg")
+    # The definitive guard — vma(bg) ⊇ vma(entry features) — runs at the
+    # composite_tiles call site itself (ops/rasterize._check_bg_vma) and also
+    # covers axes OTHER shard_map levels introduce (e.g. `data` in the fused
+    # data x gauss step, which must pvary bg over `data` before calling here).
 
     n_loc = means3d.shape[0]
     gy = cfg.grid_y

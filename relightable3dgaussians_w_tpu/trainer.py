@@ -78,6 +78,17 @@ def seed_sky_points(rng_key, xyz: np.ndarray, cameras: list[Camera]):
 
 class Relightable3DGWTrainer:
     def __init__(self, cfg: Config):
+        from .parallel import multihost
+
+        # Multi-host runtime (no reference counterpart — the reference is
+        # single-process, utils/general_utils.py:155). Every process runs this
+        # same trainer with the same seed: camera sampling and the whole
+        # schedule replay identically, device work is one SPMD program over the
+        # global mesh, and file/log IO is gated on process 0.
+        multihost.maybe_initialize(cfg.runtime)
+        self.is_main = multihost.is_main()
+        self.multiprocess = multihost.is_multiprocess()
+
         self.cfg = cfg
         self.key = jax.random.PRNGKey(cfg.runtime.seed)
         self.model_path = cfg.dataset.model_path or "./output/run"
@@ -98,12 +109,23 @@ class Relightable3DGWTrainer:
         self.data_ax = max(cfg.runtime.data_parallel, 1)
         self.gauss_ax = max(cfg.runtime.gauss_shards, 1)
         self.use_mesh = self.data_ax * self.gauss_ax > 1
+        if self.multiprocess and not self.use_mesh:
+            raise RuntimeError(
+                "multi-host training needs a mesh: set runtime.data_parallel "
+                "(and optionally runtime.gauss_shards) to span all processes' "
+                "devices")
         if self.use_mesh:
             n_dev = len(jax.devices())
             if n_dev < self.data_ax * self.gauss_ax:
                 raise RuntimeError(
                     f"mesh data={self.data_ax} x gauss={self.gauss_ax} needs "
                     f"{self.data_ax * self.gauss_ax} devices, have {n_dev}")
+            if self.multiprocess and self.data_ax * self.gauss_ax != n_dev:
+                raise RuntimeError(
+                    f"multi-host mesh must span ALL {n_dev} global devices "
+                    f"(got data={self.data_ax} x gauss={self.gauss_ax}); a "
+                    f"process with no device in the mesh cannot join the SPMD "
+                    f"program")
             if self.gauss_ax > 1:
                 # The gauss-sharded render assigns one tile-row band per gauss
                 # device: pad the image height so grid_y divides (masked pixels
@@ -143,9 +165,29 @@ class Relightable3DGWTrainer:
         self.state = TrainState(params=params, gauss_state=gstate, opt_state=opt_state,
                                 step=jnp.asarray(0))
 
+        # Entry-budget sizing + row-interval culling share ONE probe: the
+        # measured per-view entry demand, both as plain tile rects and as exact
+        # per-row ellipse intervals. Intervals are image/gradient-bitwise-free
+        # but cost ~3% of iter time in machinery (BENCH_LOG r4): auto-enable
+        # only when the measured cut clears that (isotropic synthetic scenes
+        # ~8%, trained anisotropic splats ~31% — VERDICT r4 item 3b).
+        row_iv = bool(cfg.runtime.row_intervals)
+        rect_demand = iv_demand = None
+        if (cfg.runtime.max_dup == 0
+                or (not row_iv and cfg.runtime.row_intervals_auto)):
+            rect_demand, iv_demand = self._probe_entry_demand()
+        if not row_iv and cfg.runtime.row_intervals_auto and rect_demand:
+            cut = 1.0 - iv_demand / max(rect_demand, 1)
+            row_iv = cut >= 0.15
+            print(f"row_intervals: interval cut {cut:.1%} -> "
+                  f"{'AUTO-ENABLED' if row_iv else 'off'} "
+                  f"(rect demand {rect_demand}, interval demand {iv_demand})")
         max_dup = cfg.runtime.max_dup
         if max_dup == 0:
-            max_dup = self._demand_sized_max_dup()
+            demand = iv_demand if row_iv else rect_demand
+            max_dup = min(max(((int(demand * 1.3) + 4095) // 4096) * 4096,
+                              1 << 15), 1 << 23)
+            print(f"entry budget: measured demand ~{demand} -> max_dup={max_dup}")
         self.rcfg = RasterizerConfig(
             width=self.W, height=self.H,
             max_dup=max_dup,
@@ -154,7 +196,7 @@ class Relightable3DGWTrainer:
             tile_chunk=cfg.runtime.tile_chunk,
             pallas_chunk=cfg.runtime.pallas_chunk,
             use_pallas=cfg.runtime.use_pallas and jax.default_backend() == "tpu",
-            row_intervals=cfg.runtime.row_intervals,
+            row_intervals=row_iv,
         )
         self.fns = make_train_fns(self.mlp, cfg, self.rcfg,
                                   split_dispatch=cfg.runtime.split_dispatch)
@@ -174,15 +216,19 @@ class Relightable3DGWTrainer:
         self.bg_color = jnp.asarray(
             [1.0, 1.0, 1.0] if cfg.dataset.white_background else [0.0, 0.0, 0.0]
         )
+        # Log/config IO on process 0 only; other processes log to devnull.
         self.log_path = os.path.join(self.model_path, "train_log.jsonl")
         self.logger = TrainLogger(
-            self.log_path,
-            tb_dir=self.model_path if cfg.runtime.tensorboard else None,
+            self.log_path if self.is_main else os.devnull,
+            tb_dir=(self.model_path
+                    if cfg.runtime.tensorboard and self.is_main else None),
         )
-        self.profiler = ProfilerWindow(cfg.runtime.profile_steps,
-                                       os.path.join(self.model_path, "profile"))
-        with open(os.path.join(self.model_path, "relightable3DG-W_run.yaml"), "w") as f:
-            json.dump(config_to_dict(cfg), f, indent=2, default=str)
+        self.profiler = ProfilerWindow(
+            cfg.runtime.profile_steps if self.is_main else "",
+            os.path.join(self.model_path, "profile"))
+        if self.is_main:
+            with open(os.path.join(self.model_path, "relightable3DG-W_run.yaml"), "w") as f:
+                json.dump(config_to_dict(cfg), f, indent=2, default=str)
 
     @staticmethod
     def _repad_views(views, H, W):
@@ -223,7 +269,10 @@ class Relightable3DGWTrainer:
         warm = (0, t0)  # (iter, wall) after first logged step: excludes compile time
         timer = StepTimer()
         viewer = None
-        if cfg.runtime.viewer_port > 0:
+        if cfg.runtime.viewer_port > 0 and self.multiprocess:
+            print("viewer: disabled under multi-host training (render requests "
+                  "would desynchronize the SPMD schedule)")
+        elif cfg.runtime.viewer_port > 0:
             from .viewer import ViewerServer, handle_viewer_request
             viewer = ViewerServer(cfg.runtime.viewer_ip, cfg.runtime.viewer_port,
                                   protocol=cfg.runtime.viewer_protocol,
@@ -298,7 +347,8 @@ class Relightable3DGWTrainer:
                 print(f"[{it}] loss={loss:.5f} psnr={rec['psnr']:.2f} "
                       f"alive={rec['alive']} {rec['iters_per_s']:.2f} it/s")
 
-            if self.logger.tb is not None and self._crossed(log_every * 10, prev_it, it):
+            if (self.logger.tb is not None and not self.multiprocess
+                    and self._crossed(log_every * 10, prev_it, it)):
                 p = self.state.params["gaussians"]
                 alive = np.asarray(self.state.gauss_state.alive)
                 self.logger.histogram(it, "opacity",
@@ -349,16 +399,17 @@ class Relightable3DGWTrainer:
         self.logger.close()
         return self.state
 
-    def _demand_sized_max_dup(self) -> int:
-        """Size the static entry budget from the scene's measured duplicate
-        demand (the analog of the reference sizing its key buffer from the
-        scanned count, rasterizer_impl.cu:280-285): max over a few cameras of
-        the opacity-tightened tile-entry total, x1.3 headroom for densification
-        growth. Overflow healing still grows it geometrically (log-bounded
-        re-jits), so starting tight is safe — and since sort/gather/segment-sum
-        cost scales with the STATIC budget (BENCH_LOG r4), starting tight is
-        the fast configuration."""
-        from .ops.preprocess import preprocess as _pp
+    def _probe_entry_demand(self) -> tuple[int, int]:
+        """Measure the scene's per-view entry demand (the analog of the
+        reference sizing its key buffer from the scanned count,
+        rasterizer_impl.cu:280-285): max over a few cameras of the
+        opacity-tightened tile-entry total, both as plain rects and as exact
+        per-row ellipse intervals (ops/preprocess.row_intervals). Drives BOTH
+        the static max_dup budget (x1.3 headroom; overflow healing still grows
+        it geometrically, and sort/gather/segment-sum cost scales with the
+        STATIC budget, so starting tight is the fast configuration) and the
+        row_intervals auto-enable decision."""
+        from .ops.preprocess import preprocess as _pp, row_intervals as _ri
 
         p = self.state.params["gaussians"]
         s = self.state.gauss_state
@@ -372,14 +423,13 @@ class Relightable3DGWTrainer:
             pre = _pp(xyz, scales, quats, cam_mats.viewmat, cam_mats.projmat,
                       cam_mats.tan_fovx, cam_mats.tan_fovy, self.W, self.H, 16,
                       opacities=op)
-            return jnp.sum(pre.tiles_touched)
+            return jnp.sum(pre.tiles_touched), jnp.sum(_ri(pre, op)[0])
 
         probe_views = self.train_views[:: max(len(self.train_views) // 8, 1)][:8]
-        total = max(int(demand(v["cam"].matrices())) for v in probe_views)
-        max_dup = min(max(((int(total * 1.3) + 4095) // 4096) * 4096, 1 << 15),
-                      1 << 23)
-        print(f"entry budget: measured demand ~{total} -> max_dup={max_dup}")
-        return max_dup
+        rects, ivs = zip(*(
+            (int(r), int(i))
+            for r, i in (demand(v["cam"].matrices()) for v in probe_views)))
+        return max(rects), max(ivs)
 
     def _heal_binning_overflow(self, it: int, n_over: int):
         """Grow the static entry budget after a binning overflow (whose update was
@@ -419,19 +469,33 @@ class Relightable3DGWTrainer:
 
         mats = [v["cam"].matrices() for v in views]
         batch = CameraBatch(
-            viewmat=jnp.stack([m.viewmat for m in mats]),
-            projmat=jnp.stack([m.projmat for m in mats]),
-            campos=jnp.stack([m.campos for m in mats]),
-            tan_fovx=jnp.stack([jnp.asarray(m.tan_fovx) for m in mats]),
-            tan_fovy=jnp.stack([jnp.asarray(m.tan_fovy) for m in mats]),
-            gt_image=jnp.stack([jnp.asarray(v["image"]) for v in views]),
-            sky_mask=jnp.stack([jnp.asarray(v["sky_mask"]) for v in views]),
-            occluders_mask=jnp.stack(
-                [jnp.asarray(v["occluders_mask"]) for v in views]),
-            uid=jnp.asarray([v["cam"].uid for v in views]),
+            viewmat=np.stack([np.asarray(m.viewmat) for m in mats]),
+            projmat=np.stack([np.asarray(m.projmat) for m in mats]),
+            campos=np.stack([np.asarray(m.campos) for m in mats]),
+            tan_fovx=np.stack([np.asarray(m.tan_fovx) for m in mats]),
+            tan_fovy=np.stack([np.asarray(m.tan_fovy) for m in mats]),
+            gt_image=np.stack([v["image"] for v in views]),
+            sky_mask=np.stack([v["sky_mask"] for v in views]),
+            occluders_mask=np.stack([v["occluders_mask"] for v in views]),
+            uid=np.asarray([v["cam"].uid for v in views]),
         )
         keys = jax.random.split(key, len(views))
-        state, metrics = self.dp_step(self.state, batch, keys, self.bg_color)
+        bg = self.bg_color
+        if self.multiprocess:
+            # Every process holds the FULL batch on host (each host reads the
+            # same dataset and replays the same sampling RNG); lift to global
+            # arrays so each process contributes only its local devices'
+            # camera shards (parallel/multihost.py).
+            from jax.sharding import PartitionSpec as P
+
+            from .parallel import multihost
+
+            batch = multihost.global_batch(batch, self.mesh,
+                                           lambda a: P("data"))
+            keys = multihost.global_batch(np.asarray(keys), self.mesh,
+                                          lambda a: P("data"))
+            bg = multihost.global_batch(np.asarray(bg), self.mesh)
+        state, metrics = self.dp_step(self.state, batch, keys, bg)
         self.state = state
         return state, SimpleNamespace(
             loss=metrics["loss"], l1=metrics["l1"], psnr=metrics["psnr"],
@@ -450,7 +514,17 @@ class Relightable3DGWTrainer:
         from .renderer import render
         from .utils import losses as LO
 
-        emb = self.state.params["embeddings"]
+        state = self.state
+        if self.multiprocess:
+            # COLLECTIVE host pull on every process, then process 0 renders the
+            # report locally on its own devices; others return.
+            from .parallel import multihost
+
+            state = multihost.host_replicated(self.state, self.mesh)
+            if not self.is_main:
+                return
+
+        emb = state.params["embeddings"]
         mean_emb = jnp.mean(emb, axis=0, keepdims=True)
         panel_dir = os.path.join(self.model_path, "panels", f"iteration_{it}")
         os.makedirs(panel_dir, exist_ok=True)
@@ -464,10 +538,10 @@ class Relightable3DGWTrainer:
             for view in views:
                 cam = view["cam"]
                 e = mean_emb if use_mean else emb[cam.uid][None]
-                envl, sky_sh = self.mlp.apply({"params": self.state.params["mlp"]},
+                envl, sky_sh = self.mlp.apply({"params": state.params["mlp"]},
                                               e, deterministic=True)
                 out = render(
-                    self.state.params["gaussians"], self.state.gauss_state,
+                    state.params["gaussians"], state.gauss_state,
                     envl[0], sky_sh, cam.matrices(), self.rcfg, self.bg_color,
                     jnp.asarray(view["sky_mask"]),
                     envlight_sh_degree=self.cfg.model.envlight_sh_degree,
@@ -497,6 +571,46 @@ class Relightable3DGWTrainer:
                 print(f"[{it}] eval {split}: {name}={rec[name]:.2f} "
                       f"l1={rec[f'{split}_l1']:.4f} over {len(psnrs)} views")
 
+        # PROTOCOL-metric trajectory (VERDICT r4 weak #6): a cheap left-half
+        # embedding fit on a couple of test views, reporting the RIGHT-half
+        # masked PSNR — the same split the full protocol scores
+        # (evaluation.optimize_test_embeddings; metrics.py:180-189) — so the
+        # training log tracks the number that matters, not the mean-embedding
+        # proxy above.
+        k = self.cfg.runtime.eval_halffit_views
+        if test_views and k > 0:
+            from .evaluation import optimize_test_embeddings
+
+            sub = test_views[:k]
+            emb_t = optimize_test_embeddings(
+                state.params, state.gauss_state, self.mlp, sub, self.cfg,
+                self.rcfg,
+                jnp.broadcast_to(mean_emb, (len(sub), mean_emb.shape[-1])),
+                iters=min(self.cfg.optimizer.optim_embeddings_test_iters, 60))
+            W2 = self.rcfg.width // 2
+            ps = []
+            for i, view in enumerate(sub):
+                envl, sky_sh = self.mlp.apply(
+                    {"params": state.params["mlp"]}, emb_t[i][None],
+                    deterministic=True)
+                out = render(
+                    state.params["gaussians"], state.gauss_state, envl[0],
+                    sky_sh, view["cam"].matrices(), self.rcfg, self.bg_color,
+                    jnp.asarray(view["sky_mask"]),
+                    envlight_sh_degree=self.cfg.model.envlight_sh_degree,
+                    sky_sh_degree=self.cfg.model.sky_sh_degree,
+                    specular=self.cfg.model.specular,
+                    fix_sky=self.cfg.model.fix_sky, debug=False)
+                img = np.clip(np.asarray(out.render), 0, 1)[:, W2:]
+                gt = view["image"][:, W2:]
+                occ = view["occluders_mask"][:, W2:, None]
+                chw = lambda x: jnp.moveaxis(jnp.asarray(x), -1, 0)
+                ps.append(float(LO.psnr(chw(img * occ), chw(gt * occ))))
+            rec = {"test_psnr_halffit": float(np.mean(ps))}
+            self.logger.scalars(it, rec)
+            print(f"[{it}] eval test(half-fit {len(sub)} views): "
+                  f"psnr={rec['test_psnr_halffit']:.2f}")
+
     # --------------------------------------------------------------- checkpoints
 
     def _iter_dir(self, sub: str, iteration: int) -> str:
@@ -505,8 +619,18 @@ class Relightable3DGWTrainer:
         return d
 
     def save(self, iteration: int):
-        p = self.state.params["gaussians"]
-        s = self.state.gauss_state
+        from .parallel import multihost
+
+        state = self.state
+        if self.multiprocess:
+            # COLLECTIVE on every process: all-gather the sharded state to host;
+            # then only process 0 writes (SURVEY.md §5.4 / VERDICT r4 item 2).
+            state = multihost.host_replicated(self.state, self.mesh)
+            if not self.is_main:
+                multihost.sync_processes(f"save_{iteration}")
+                return
+        p = state.params["gaussians"]
+        s = state.gauss_state
         alive = np.asarray(s.alive)
         idx = np.nonzero(alive)[0]
         is_sky = np.asarray(s.is_sky)[idx]
@@ -547,15 +671,15 @@ class Relightable3DGWTrainer:
         # Embeddings + MLP (relit3DGW_model.py:224-246).
         np.savez(os.path.join(self._iter_dir("checkpoint_embeddings", iteration),
                               "embeddings_weights.npz"),
-                 weight=np.asarray(self.state.params["embeddings"]))
+                 weight=np.asarray(state.params["embeddings"]))
         with open(os.path.join(self._iter_dir("checkpoint_MLP", iteration),
                                "MLP_weights.npz"), "wb") as f:
-            f.write(flax.serialization.to_bytes(self.state.params["mlp"]))
+            f.write(flax.serialization.to_bytes(state.params["mlp"]))
 
         # Per-image envlight SH maps.
         envl_dir = self._iter_dir("envlights_sh", iteration)
-        embeddings = self.state.params["embeddings"]
-        envl, _ = self.mlp.apply({"params": self.state.params["mlp"]}, embeddings,
+        embeddings = state.params["embeddings"]
+        envl, _ = self.mlp.apply({"params": state.params["mlp"]}, embeddings,
                                  deterministic=True)
         envl = np.asarray(envl)
         for i, camview in enumerate(self.train_views):
@@ -565,10 +689,14 @@ class Relightable3DGWTrainer:
         # Framework-native full state (params + Adam moments + pool masks + step).
         bundle_dir = self._iter_dir("full_state", iteration)
         flat, treedef = jax.tree_util.tree_flatten(
-            (self.state.params, self.state.gauss_state, self.state.opt_state, self.state.step)
+            (state.params, state.gauss_state, state.opt_state, state.step)
         )
         np.savez(os.path.join(bundle_dir, "state.npz"),
                  **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)})
+        if self.multiprocess:
+            from .parallel import multihost
+
+            multihost.sync_processes(f"save_{iteration}")
 
     def load_checkpoint(self, iteration: int = -1):
         """Reference-style warm start (Relightable3DGW load path,

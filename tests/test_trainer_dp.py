@@ -75,9 +75,13 @@ def test_trainer_dp_mesh(tmp_path):
     assert os.path.exists(os.path.join(out_dp, "full_state", "iteration_40",
                                        "state.npz"))
     assert np.isfinite(psnr_dp)
-    # Same data, same loss stack, different batching semantics (B parallel
-    # gradients -> sequential microsteps): quality lands within noise.
-    assert abs(psnr_dp - psnr_ref) < 3.0, (psnr_dp, psnr_ref)
+    # Gradient semantics are pinned TIGHTLY in tests/test_dp_semantics.py
+    # (first-step per-image loss parity at identical params + 0.5 dB
+    # trajectory bound with controlled init/order/keys — the DP_AB_r03
+    # methodology; VERDICT r4 item 6). The two trainer arms here draw
+    # different per-image dropout/noise keys (B-strided key splits), so this
+    # e2e keeps only a coarse sanity band around the schedule assertions.
+    assert abs(psnr_dp - psnr_ref) < 1.5, (psnr_dp, psnr_ref)
 
 
 def test_schedule_crossing():
