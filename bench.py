@@ -49,24 +49,41 @@ def build(n, W, H, seed=0):
     # Size the static entry budget from the actual count (+5% headroom), like the
     # reference sizes its key buffer from the scanned duplicate count
     # (rasterizer_impl.cu:280-285) — the overflow counter still reports any clamp.
+    # BENCH_ROW_INTERVALS: 1/0 force, "auto" (default) enables the exact per-row
+    # ellipse culling when the measured interval cut >= 15% (clears the ~3%
+    # interval-machinery cost; same policy as trainer._probe_entry_demand).
     max_dup = int(os.environ.get("BENCH_MAX_DUP", 0))
-    row_iv = os.environ.get("BENCH_ROW_INTERVALS", "0") == "1"
-    if max_dup == 0:
+    row_env = os.environ.get("BENCH_ROW_INTERVALS", "auto")
+    row_iv = row_env == "1"
+    # BENCH_SKIP_ALPHA: serving LOD threshold (RasterizerConfig.skip_alpha);
+    # default 1/255 = reference-exact. e.g. BENCH_SKIP_ALPHA=0.0156 (1/64).
+    skip_alpha = float(os.environ.get("BENCH_SKIP_ALPHA", 1.0 / 255.0))
+    if max_dup == 0 or row_env == "auto":
         from relightable3dgaussians_w_tpu.ops.preprocess import (
             preprocess, row_intervals)
 
         def count(m, s, q, o):
             pre = preprocess(m, s, q, cam.viewmat, cam.projmat, cam.tan_fovx,
-                             cam.tan_fovy, W, H, 16, opacities=o)
-            if row_iv:
-                # Sort/gather/segment-sum costs scale with the STATIC budget,
-                # not the live entry count — the interval win only materializes
-                # through a smaller max_dup.
-                return jnp.sum(row_intervals(pre, o)[0])
-            return jnp.sum(pre.tiles_touched)
+                             cam.tan_fovy, W, H, 16, opacities=o,
+                             skip_alpha=skip_alpha)
+            return (jnp.sum(pre.tiles_touched),
+                    jnp.sum(row_intervals(pre, o, skip_alpha=skip_alpha)[0]))
 
-        total = int(jax.jit(count)(*arrs[:3], arrs[3]))
-        max_dup = min(max(((int(total * 1.05) + 4095) // 4096) * 4096, 4096), 1 << 23)
+        rect_total, iv_total = (int(x) for x in jax.jit(count)(*arrs[:3], arrs[3]))
+        if row_env == "auto":
+            # Intervals pay only in fwd+bwd: the smaller static budget feeds
+            # sort+gather+segsum+composite-bwd. Forward-only rendering measured
+            # them a NET COST even at aniso-8 (exp_r5a/b: iso 45.0 -> 55.4,
+            # aniso 101.8 -> 107.1) — keep them off in render mode.
+            cut = 1.0 - iv_total / max(rect_total, 1)
+            row_iv = cut >= 0.15 and os.environ.get("BENCH_MODE", "train") == "train"
+        # Sort/gather/segment-sum costs scale with the STATIC budget, not the
+        # live entry count — the interval win only materializes through a
+        # smaller max_dup.
+        total = iv_total if row_iv else rect_total
+        if max_dup == 0:
+            max_dup = min(max(((int(total * 1.05) + 4095) // 4096) * 4096, 4096),
+                          1 << 23)
 
     cfg = RasterizerConfig(
         width=W, height=H,
@@ -76,7 +93,8 @@ def build(n, W, H, seed=0):
         tile_chunk=int(os.environ.get("BENCH_TILE_CHUNK", 8)),
         use_pallas=use_pallas,
         pallas_chunk=int(os.environ.get("BENCH_CHUNK", 512)),
-        row_intervals=os.environ.get("BENCH_ROW_INTERVALS", "0") == "1",
+        row_intervals=row_iv,
+        skip_alpha=skip_alpha,
     )
     return arrs, cam, cfg
 
@@ -104,15 +122,17 @@ def main():
             img, aux = fwd(arrs)
         float(jnp.sum(img[:1, :1]))
         dt = (time.perf_counter() - t0) / iters
+        extra = {"ms_per_frame": dt * 1e3, "fps": 1.0 / dt,
+                 "overflow_entries": overflow,
+                 "backend": jax.devices()[0].platform,
+                 "pallas": cfg.use_pallas}
+        extra.update(_maybe_pie(arrs, cam, cfg, bg, dt, mode="render"))
         print(json.dumps({
             "metric": f"splat_render_pixels_per_s_{n}g_{W}x{H}",
             "value": W * H / dt,
             "unit": "pixels/s/chip",
             "vs_baseline": (W * H / dt) / NOMINAL_BASELINE_PIX_S,
-            "extra": {"ms_per_frame": dt * 1e3, "fps": 1.0 / dt,
-                      "overflow_entries": overflow,
-                      "backend": jax.devices()[0].platform,
-                      "pallas": cfg.use_pallas},
+            "extra": extra,
         }))
         return
 
@@ -159,16 +179,37 @@ def main():
 
         parity = parity_run(quiet=True)
 
+    extra = {"ms_per_iter": dt * 1e3, "overflow_entries": overflow,
+             "backend": jax.devices()[0].platform, "pallas": cfg.use_pallas,
+             "split": split,
+             **({"parity": parity} if parity is not None else {})}
+    extra.update(_maybe_pie(arrs, cam, cfg, bg, dt, mode="train"))
     print(json.dumps({
         "metric": f"splat_fwd_bwd_pixels_per_s_{n}g_{W}x{H}",
         "value": pix_s,
         "unit": "pixels/s/chip",
         "vs_baseline": pix_s / NOMINAL_BASELINE_PIX_S,
-        "extra": {"ms_per_iter": dt * 1e3, "overflow_entries": overflow,
-                  "backend": jax.devices()[0].platform, "pallas": cfg.use_pallas,
-                  "split": split,
-                  **({"parity": parity} if parity is not None else {})},
+        "extra": extra,
     }))
+
+
+def _maybe_pie(arrs, cam, cfg, bg, dt, mode):
+    """Measured stage pie + speed-of-light fraction (scripts/stage_pie.py):
+    sol_pct = (sum of isolated stage-floor times) / end-to-end — the externally
+    legible form of BENCH_LOG's roofline attribution (VERDICT r4 item 3a).
+    BENCH_PIE=0 skips the extra stage compiles."""
+    if os.environ.get("BENCH_PIE", "1") != "1" or not cfg.use_pallas:
+        return {}
+    try:
+        from scripts.stage_pie import measure_stage_pie, sol_pct
+
+        pie = measure_stage_pie(arrs, cam, cfg, bg, mode=mode)
+        return {
+            "stage_pie_ms": {k: round(v, 2) for k, v in pie.items()},
+            "sol_pct": round(100.0 * sol_pct(pie, dt * 1e3), 1),
+        }
+    except Exception as e:  # the headline number must survive a pie failure
+        return {"stage_pie_error": str(e)[:200]}
 
 
 if __name__ == "__main__":

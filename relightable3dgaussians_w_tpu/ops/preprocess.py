@@ -114,7 +114,8 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
                scale_modifier: float = 1.0,
                cov3d_precomp: jnp.ndarray | None = None,
                active: jnp.ndarray | None = None,
-               opacities: jnp.ndarray | None = None) -> PreprocessOut:
+               opacities: jnp.ndarray | None = None,
+               skip_alpha: float = 1.0 / 255.0) -> PreprocessOut:
     """Vectorized equivalent of preprocessCUDA (forward.cu:156-256).
 
     Args:
@@ -129,6 +130,12 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
         opacities: optional [N] activated opacities in (0, 1); enables the exact
             opacity-aware rect tightening (module docstring). Rendering output is
             identical with or without it; only the entry count changes.
+        skip_alpha: rect-tightening alpha threshold. 1/255 (default) matches the
+            compositors' skip EXACTLY — rendering is bitwise-unchanged. Larger
+            values are a SERVING LOD knob: tiles whose peak in-tile alpha is
+            below skip_alpha are dropped, each dropped entry contributing less
+            than skip_alpha to any pixel (bounded approximation, fewer entries
+            through sort/gather — see RasterizerConfig.skip_alpha).
     """
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
@@ -198,7 +205,11 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
         # compile with bitwise-identical culling and zero gradient change.
         op = opacities[:, 0] if opacities.ndim == 2 else opacities
         op = jax.lax.stop_gradient(op)
-        tau = jnp.sqrt(jnp.maximum(2.0 * jnp.log(255.0 * jnp.maximum(op, 1e-12)), 0.0))
+        # Multiply by the reciprocal (not divide): 1/(1/255) rounds to exactly
+        # 255.0 in f32, keeping the default bitwise-identical to the original
+        # 255*op form (rect margins absorb ulps anyway, but exactness is free).
+        tau = jnp.sqrt(jnp.maximum(
+            2.0 * jnp.log((1.0 / skip_alpha) * jnp.maximum(op, 1e-12)), 0.0))
         bx = tau * jnp.sqrt(jnp.maximum(cxx, 0.0)) * 1.0001 + 0.5
         by = tau * jnp.sqrt(jnp.maximum(cyy, 0.0)) * 1.0001 + 0.5
         tx0 = jnp.clip(jnp.floor((mean2d[:, 0] - bx) / tile), 0, grid_x).astype(jnp.int32)
@@ -210,7 +221,7 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
         rx_max = jnp.minimum(rx_max, tx1)
         ry_max = jnp.minimum(ry_max, ty1)
         area_t = (jnp.maximum(rx_max - rx_min, 0) * jnp.maximum(ry_max - ry_min, 0))
-        contributes = alive & (op >= 1.0 / 255.0)
+        contributes = alive & (op >= skip_alpha)
         tiles_touched = jnp.where(contributes, area_t, 0).astype(jnp.int32)
         # Keep rect fields consistent with tiles_touched for the rect walk.
         rx_min = jnp.minimum(rx_min, rx_max)
@@ -235,7 +246,8 @@ H_CAP = 8          # tile rows with exact per-row intervals; deeper rows fall
 INTERVAL_MARGIN = 1.0  # px of conservative slack on each interval end
 
 
-def row_intervals(pre: PreprocessOut, opacities: jnp.ndarray, tile: int = 16):
+def row_intervals(pre: PreprocessOut, opacities: jnp.ndarray, tile: int = 16,
+                  skip_alpha: float = 1.0 / 255.0):
     """Exact per-tile-row x-intervals of each Gaussian's contributing region.
 
     The region where alpha = op * exp(power) can reach 1/255 is the ellipse
@@ -269,7 +281,11 @@ def row_intervals(pre: PreprocessOut, opacities: jnp.ndarray, tile: int = 16):
     h = y1 - y0
     w_full = jnp.maximum(x1 - x0, 0)
 
-    rho2 = jnp.maximum(2.0 * jnp.log(255.0 * jnp.maximum(op, 1e-12)), 0.0)
+    # skip_alpha = 1/255 (default) is the compositors' exact skip threshold;
+    # larger values are the serving LOD knob (see preprocess docstring).
+    # Reciprocal-multiply keeps the default bitwise equal to the 255*op form.
+    rho2 = jnp.maximum(
+        2.0 * jnp.log((1.0 / skip_alpha) * jnp.maximum(op, 1e-12)), 0.0)
     det_c = jnp.maximum(a * c - b * b, 1e-30)
     a_s = jnp.maximum(a, 1e-30)
     dx_max = jnp.sqrt(jnp.maximum(rho2 * c / det_c, 0.0))

@@ -53,6 +53,14 @@ class RasterizerConfig(NamedTuple):
     align_chunk: int = 128           # tile-segment alignment quantum (TPU DMA
                                      # needs 128; smaller than pallas_chunk cuts
                                      # the pad slots every reorder stage carries)
+    skip_alpha: float = 1.0 / 255.0  # rect/interval tightening threshold.
+                                     # 1/255 = the compositors' exact skip
+                                     # (bitwise reference rendering). Larger =
+                                     # SERVING LOD: drops entries whose peak
+                                     # in-tile alpha < skip_alpha (each bounded
+                                     # by skip_alpha per pixel), cutting the
+                                     # sorted/gathered entry count. Training
+                                     # must keep the default.
 
     @property
     def grid_x(self) -> int:
@@ -142,6 +150,36 @@ def rasterize_aux(means3d, scales, quats, cam: CameraMatrices, cfg: RasterizerCo
     return pre, binning
 
 
+def _check_bg_vma(bg, feat):
+    """Version-independent strict-VMA guard for the compositor's custom VJP.
+
+    Inside a shard_map, `composite_tiles`'s bwd rule computes `d_bg` from the
+    entry features and incoming cotangents; under strict varying-manual-axes
+    checking (newer jax than this box's 0.9.0) the cotangent's vma must equal
+    the primal `bg`'s. A replicated/under-promoted `bg` therefore fails REMOTELY
+    while passing locally (MULTICHIP_r03/r04 regressions). This trace-time check
+    enforces the invariant `vma(bg) ⊇ vma(feat)` on ANY jax version: callers
+    inside shard_map must pvary `bg` over every mesh axis the entry features
+    vary over (parallel/gauss_shard.py pvary, parallel/data_parallel.py
+    shard_fn). No-op outside shard_map / on jax without vma introspection.
+    """
+    try:
+        bg_vma = frozenset(jax.typeof(bg).vma)
+        feat_vma = frozenset(jax.typeof(feat).vma)
+    except Exception:
+        return
+    if not feat_vma <= bg_vma:
+        raise ValueError(
+            f"composite_tiles: bg varies over manual axes {set(bg_vma)} but the "
+            f"entry features vary over {set(feat_vma)}; the custom-VJP d_bg "
+            f"cotangent would carry vma {set(feat_vma)} and be rejected by "
+            f"strict varying-manual-axes checking. Promote bg with "
+            f"jax.lax.pvary over the missing axes "
+            f"{set(feat_vma - bg_vma)} before calling rasterize "
+            f"(see parallel/gauss_shard.py pvary)."
+        )
+
+
 def rasterize(means3d, scales, quats, opacities, colors, bg,
               cam: CameraMatrices, cfg: RasterizerConfig,
               mean2d_probe=None, cov3d_precomp=None, active=None,
@@ -178,7 +216,7 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
             pre = preprocess(
                 means3d, scales, quats, cam.viewmat, cam.projmat, cam.tan_fovx,
                 cam.tan_fovy, cfg.width, cfg.height, cfg.tile, cfg.scale_modifier,
-                cov3d_precomp, active, opacities,
+                cov3d_precomp, active, opacities, skip_alpha=cfg.skip_alpha,
             )
         # The aligned one-sort binning handles any pool below 2^24 (single-u32
         # key when the bits fit, lexicographic 2-key sort otherwise); beyond
@@ -191,7 +229,8 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
             if cfg.row_intervals:
                 from .preprocess import row_intervals as _row_intervals
 
-                intervals = _row_intervals(pre, opacities, cfg.tile)
+                intervals = _row_intervals(pre, opacities, cfg.tile,
+                                            skip_alpha=cfg.skip_alpha)
             # Single sort lands directly in the chunk-aligned layout.
             aligned = bin_gaussians_aligned(pre, cfg.grid_x, cfg.grid_y,
                                             cfg.max_dup, align,
@@ -213,6 +252,7 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
                                      chunk=cfg.pallas_chunk, align=align,
                                      tiles_per_step=cfg.tiles_per_step,
                                      interpret=cfg.pallas_interpret)
+        _check_bg_vma(bg, feat_t)
         tiles_rgb, tiles_tfin = composite_tiles_pallas(
             feat_t, aligned.tile_start, aligned.tile_count, bg, pcfg)
         num_entries, overflow = aligned.num_entries, aligned.overflow
@@ -221,7 +261,7 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
             pre = preprocess(
                 means3d, scales, quats, cam.viewmat, cam.projmat, cam.tan_fovx,
                 cam.tan_fovy, cfg.width, cfg.height, cfg.tile, cfg.scale_modifier,
-                cov3d_precomp, active, opacities,
+                cov3d_precomp, active, opacities, skip_alpha=cfg.skip_alpha,
             )
         binning = bin_gaussians(pre, cfg.grid_x, cfg.grid_y, cfg.max_dup,
                                 cfg.max_tiles_per_gauss)
@@ -231,6 +271,7 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
             lmax_per_tile=cfg.lmax_per_tile, tile_chunk=cfg.tile_chunk,
         )
         composite = composite_tiles_autodiff if use_autodiff_twin else composite_tiles
+        _check_bg_vma(bg, feat)
         tiles_rgb, tiles_tfin = composite(feat, binning.tile_start, binning.tile_end, bg, ccfg)
         num_entries, overflow = binning.num_entries, binning.overflow
     image, tfin = _assemble_image(tiles_rgb, tiles_tfin, cfg, colors.shape[-1])

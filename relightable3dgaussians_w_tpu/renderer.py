@@ -52,7 +52,7 @@ def compute_colors(params: G.GaussianParams, state: G.GaussianState,
                    envlight_base: jnp.ndarray, sky_sh: jnp.ndarray,
                    envlight_sh_degree: int, sky_sh_degree: int,
                    campos: jnp.ndarray, specular: bool = True, fix_sky: bool = False,
-                   debug: bool = True):
+                   debug: bool = True, rgb_only: bool = False):
     """Per-Gaussian feature channels for the fused pass.
 
     Mirrors gaussian_renderer/__init__.py:119-157: Cook–Torrance shading for
@@ -79,6 +79,8 @@ def compute_colors(params: G.GaussianParams, state: G.GaussianState,
         sky_rgb = jnp.maximum(sky_sh2rgb + 0.5, 0.0)
 
     rgb = jnp.where(is_sky, sky_rgb, shaded.rgb)
+    if rgb_only:
+        return rgb, normal
     diffuse = jnp.where(is_sky, 0.0, shaded.diffuse)
     spec = jnp.where(is_sky, 0.0, shaded.specular)
     depth_feat = jnp.zeros((xyz.shape[0], 1))  # filled by caller with view-space z
@@ -139,6 +141,33 @@ class RenderInputs(NamedTuple):
     quats: jnp.ndarray     # [N, 4]
     opacity: jnp.ndarray   # [N, 1]
     colors: jnp.ndarray    # [N, C] fused AOV channels (depth channel filled)
+
+
+def render_rgb(params: G.GaussianParams, state: G.GaussianState,
+               envlight_base: jnp.ndarray, sky_sh: jnp.ndarray,
+               cam: CameraMatrices, rcfg: RasterizerConfig,
+               bg_color: jnp.ndarray, envlight_sh_degree: int = 4,
+               sky_sh_degree: int = 1, specular: bool = True,
+               fix_sky: bool = False):
+    """SERVING fast path: composite ONLY the 3 RGB channels (+ free alpha).
+
+    The full render() fuses 13-21 AOV channels for training; a viewer frame
+    needs just the shaded color, so this skips the AOV feature build, binning/
+    gathering rides 3 channels, and the compositor's channel contraction is
+    minimal. Combine with RasterizerConfig.skip_alpha for the serving LOD
+    trade (runtime.serve_skip_alpha). Returns (rgb [H, W, 3], alpha [H, W]).
+    Reference leg: real-time SIBR viewing, gaussian_renderer/network_gui.py.
+    """
+    xyz = G.get_xyz(params, state)
+    scales = G.get_scaling(params)
+    quats = G.get_rotation(params)
+    opacity = G.get_opacity(params, state)
+    rgb_g, _ = compute_colors(params, state, envlight_base, sky_sh,
+                              envlight_sh_degree, sky_sh_degree, cam.campos,
+                              specular, fix_sky, rgb_only=True)
+    image, aux = rasterize(xyz, scales, quats, opacity, rgb_g, bg_color, cam,
+                           rcfg, active=state.alive)
+    return image, aux.alpha
 
 
 def render_inputs(params: G.GaussianParams, state: G.GaussianState,

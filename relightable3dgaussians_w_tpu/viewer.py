@@ -212,17 +212,28 @@ def _serve_frame(server: ViewerServer, trainer, req: dict):
     )
     rcfg = trainer.rcfg._replace(
         width=W, height=H,
-        scale_modifier=float(req.get("scaling_modifier", 1.0)))
+        scale_modifier=float(req.get("scaling_modifier", 1.0)),
+        # Serving LOD: drop entries whose peak in-tile alpha is below the
+        # threshold (default 1/255 = exact; runtime.serve_skip_alpha trades
+        # bounded image deviation for frame rate — see RasterizerConfig).
+        skip_alpha=trainer.cfg.runtime.serve_skip_alpha,
+        # Viewer frames never train: intervals pay only in fwd+bwd (exp_r5a
+        # measured them a net cost on forward-only).
+        row_intervals=False)
     idx = int(req.get("embedding_index", 0))
     e = trainer.state.params["embeddings"][idx][None]
     envl, sky_sh = trainer.mlp.apply({"params": trainer.state.params["mlp"]}, e,
                                      deterministic=True)
-    out = render_fn(
-        trainer.state.params["gaussians"], trainer.state.gauss_state, envl[0], sky_sh,
-        cam, rcfg, trainer.bg_color, jnp.ones((H, W)),
+    # 3-channel serving path: the 13-AOV fused render is a training construct;
+    # a viewer frame composites rgb only (renderer.render_rgb).
+    from .renderer import render_rgb
+
+    rgb, _alpha = render_rgb(
+        trainer.state.params["gaussians"], trainer.state.gauss_state, envl[0],
+        sky_sh, cam, rcfg, trainer.bg_color,
         envlight_sh_degree=trainer.cfg.model.envlight_sh_degree,
         sky_sh_degree=trainer.cfg.model.sky_sh_degree,
         specular=trainer.cfg.model.specular,
-        fix_sky=bool(req.get("fix_sky", trainer.cfg.model.fix_sky)), debug=False,
+        fix_sky=bool(req.get("fix_sky", trainer.cfg.model.fix_sky)),
     )
-    server.send_image(np.asarray(out.render))
+    server.send_image(np.asarray(rgb))
