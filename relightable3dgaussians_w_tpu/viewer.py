@@ -188,7 +188,6 @@ def handle_viewer_request(server: ViewerServer, trainer) -> bool:
 
 
 def _serve_frame(server: ViewerServer, trainer, req: dict):
-    from .renderer import render as render_fn
     from .ops.rasterize import CameraMatrices
     from .utils.graphics import projection_matrix
 
