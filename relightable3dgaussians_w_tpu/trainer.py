@@ -735,6 +735,9 @@ class Relightable3DGWTrainer:
         from .train_step import TrainState as TS
 
         self.state = TS(params, gstate, opt_state, jnp.asarray(iteration))
+        # Loaded leaves are host arrays: re-pin the pool-over-gauss layout (and,
+        # multi-host, lift to global arrays) before any mesh-spanning step.
+        self._reshard()
         return self.state
 
     def load_full_state(self, iteration: int):
@@ -746,6 +749,7 @@ class Relightable3DGWTrainer:
         leaves = [jnp.asarray(bundle[f"leaf_{i}"]) for i in range(len(flat))]
         params, gstate, opt_state, step = jax.tree_util.tree_unflatten(treedef, leaves)
         self.state = TrainState(params, gstate, opt_state, step)
+        self._reshard()  # host arrays -> pool-over-gauss (global under multi-host)
         return self.state
 
 

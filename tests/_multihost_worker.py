@@ -68,6 +68,16 @@ def main():
     # reset fires (crossing of 20), save + evaluate_report at 24.
     trainer.train(iterations=24, save_iterations=(24,), log_every=8,
                   test_iterations=())
+
+    # RESUME leg: a fresh trainer on every process loads the process-0-written
+    # checkpoint (shared filesystem), re-pins the pool-over-gauss global
+    # layout (trainer.load_checkpoint -> _reshard), and runs two more DP
+    # steps — warm-start semantics, SURVEY §5.4.
+    trainer2 = Relightable3DGWTrainer(cfg)
+    trainer2.load_checkpoint(-1)
+    assert int(trainer2.state.step) == 24, int(trainer2.state.step)
+    trainer2.train(iterations=8, save_iterations=(), log_every=4,
+                   test_iterations=())
     print(f"[p{pid}] done", flush=True)
 
 
