@@ -109,6 +109,12 @@ class RuntimeConfig:
                                       # enable row_intervals when the measured
                                       # cut >= 15% (clears the machinery cost)
     seed: int = 0
+    detect_anomaly: bool = False      # the reference's --detect_anomaly
+                                      # (train.py:281,318 + per-op NaN asserts,
+                                      # renderutils/ops.py:107-109): enables
+                                      # jax_debug_nans, which re-runs any
+                                      # NaN-producing jitted step un-jitted and
+                                      # raises at the originating primitive
     data_parallel: int = 0            # devices on the `data` (camera-batch) mesh
                                       # axis; 0/1 = single-device reference loop
     coordinator_address: str = ""     # multi-host: "host:port" of process 0 ->

@@ -90,6 +90,11 @@ class Relightable3DGWTrainer:
         self.multiprocess = multihost.is_multiprocess()
 
         self.cfg = cfg
+        if cfg.runtime.detect_anomaly:
+            # The reference's --detect_anomaly / in-op NaN asserts
+            # (train.py:318, renderutils/ops.py:107-109): on NaN, jax re-runs
+            # the step op-by-op and raises at the producing primitive.
+            jax.config.update("jax_debug_nans", True)
         self.key = jax.random.PRNGKey(cfg.runtime.seed)
         self.model_path = cfg.dataset.model_path or "./output/run"
         os.makedirs(self.model_path, exist_ok=True)
