@@ -95,3 +95,25 @@ def nerfpp_norm(cameras: list[Camera]) -> dict:
     avg = centers.mean(axis=0, keepdims=True)
     diagonal = np.linalg.norm(centers - avg, axis=1).max()
     return {"translate": -avg[0], "radius": diagonal * 1.1}
+
+
+def camera_to_json(cam_id: int, cam: Camera) -> dict:
+    """SIBR-viewer camera entry (camera_utils.py:74-94): camera-to-world
+    position/rotation + focal lengths, written to <model_path>/cameras.json."""
+    from ..utils.graphics import fov2focal
+
+    Rt = np.zeros((4, 4))
+    Rt[:3, :3] = cam.R.transpose()
+    Rt[:3, 3] = cam.T
+    Rt[3, 3] = 1.0
+    W2C = np.linalg.inv(Rt)
+    return {
+        "id": cam_id,
+        "img_name": cam.image_name,
+        "width": cam.width,
+        "height": cam.height,
+        "position": W2C[:3, 3].tolist(),
+        "rotation": [row.tolist() for row in W2C[:3, :3]],
+        "fy": fov2focal(cam.fovy, cam.height),
+        "fx": fov2focal(cam.fovx, cam.width),
+    }

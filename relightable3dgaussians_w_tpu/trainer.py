@@ -234,6 +234,13 @@ class Relightable3DGWTrainer:
         if self.is_main:
             with open(os.path.join(self.model_path, "relightable3DG-W_run.yaml"), "w") as f:
                 json.dump(config_to_dict(cfg), f, indent=2, default=str)
+            # SIBR-viewer camera manifest (scene/__init__.py:70,
+            # camera_utils.py:74-94) so external viewers can load the scene.
+            from .data.cameras import camera_to_json
+
+            with open(os.path.join(self.model_path, "cameras.json"), "w") as f:
+                json.dump([camera_to_json(i, c) for i, c in
+                           enumerate(self.train_cameras + self.test_cameras)], f)
 
     @staticmethod
     def _repad_views(views, H, W):

@@ -84,6 +84,11 @@ def test_trainer_end_to_end(tmp_path):
 
     # Reference checkpoint layout (SURVEY.md §3.5).
     assert os.path.exists(os.path.join(out, "point_cloud/iteration_40/point_cloud.ply"))
+    # SIBR camera manifest (scene/__init__.py:70, camera_utils.py:74-94)
+    with open(os.path.join(out, "cameras.json")) as f:
+        cams_json = json.load(f)
+    assert cams_json and {"id", "img_name", "width", "height", "position",
+                          "rotation", "fy", "fx"} <= set(cams_json[0])
     assert os.path.exists(os.path.join(out, "checkpoint_embeddings/iteration_40/embeddings_weights.npz"))
     assert os.path.exists(os.path.join(out, "checkpoint_MLP/iteration_40/MLP_weights.npz"))
     envl_dir = os.path.join(out, "envlights_sh/iteration_40")
