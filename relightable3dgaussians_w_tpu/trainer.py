@@ -241,6 +241,19 @@ class Relightable3DGWTrainer:
             with open(os.path.join(self.model_path, "cameras.json"), "w") as f:
                 json.dump([camera_to_json(i, c) for i, c in
                            enumerate(self.train_cameras + self.test_cameras)], f)
+            # Legacy cfg_args (train.py:177-178): an eval()-able Namespace repr
+            # with the ModelParams field names, so the reference's own
+            # render.py/metrics.py (arguments/__init__.py:118-138
+            # get_combined_args) can load a model directory we trained.
+            ns = ("Namespace(sh_degree=3, source_path={!r}, model_path={!r}, "
+                  "images={!r}, resolution={!r}, white_background={!r}, "
+                  "eval={!r}, data_device='cuda')").format(
+                os.path.abspath(cfg.dataset.source_path or ""),
+                os.path.abspath(self.model_path), cfg.dataset.images,
+                cfg.dataset.resolution, cfg.dataset.white_background,
+                cfg.dataset.eval)
+            with open(os.path.join(self.model_path, "cfg_args"), "w") as f:
+                f.write(ns)
 
     @staticmethod
     def _repad_views(views, H, W):
