@@ -27,6 +27,7 @@ loop can poll between iterations.
 
 from __future__ import annotations
 
+import functools
 import json
 import socket
 import struct
@@ -224,15 +225,34 @@ def _serve_frame(server: ViewerServer, trainer, req: dict):
     envl, sky_sh = trainer.mlp.apply({"params": trainer.state.params["mlp"]}, e,
                                      deterministic=True)
     # 3-channel serving path: the 13-AOV fused render is a training construct;
-    # a viewer frame composites rgb only (renderer.render_rgb).
+    # a viewer frame composites rgb only (renderer.render_rgb), through a
+    # per-(rcfg, flags) jit cache — eager per-op dispatch would otherwise
+    # dominate the frame time (~1000-op graph).
+    fn = _jitted_frame_fn(
+        rcfg, trainer.cfg.model.envlight_sh_degree,
+        trainer.cfg.model.sky_sh_degree, trainer.cfg.model.specular,
+        bool(req.get("fix_sky", trainer.cfg.model.fix_sky)))
+    rgb, _alpha = fn(trainer.state.params["gaussians"],
+                     trainer.state.gauss_state, envl[0], sky_sh, cam,
+                     trainer.bg_color)
+    server.send_image(np.asarray(rgb))
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_frame_fn(rcfg, envl_deg: int, sky_deg: int, specular: bool,
+                     fix_sky: bool):
+    """Compiled viewer-frame closure, cached on the static render settings.
+
+    Repeat requests at the same resolution/LOD hit the jit cache and run at the
+    rasterizer's forward-only rate; a resolution change or pool growth retraces
+    once. (RasterizerConfig is a NamedTuple of hashables, so it is a valid
+    lru_cache key.)
+    """
     from .renderer import render_rgb
 
-    rgb, _alpha = render_rgb(
-        trainer.state.params["gaussians"], trainer.state.gauss_state, envl[0],
-        sky_sh, cam, rcfg, trainer.bg_color,
-        envlight_sh_degree=trainer.cfg.model.envlight_sh_degree,
-        sky_sh_degree=trainer.cfg.model.sky_sh_degree,
-        specular=trainer.cfg.model.specular,
-        fix_sky=bool(req.get("fix_sky", trainer.cfg.model.fix_sky)),
-    )
-    server.send_image(np.asarray(rgb))
+    def f(gparams, gstate, envl, sky_sh, cam, bg):
+        return render_rgb(gparams, gstate, envl, sky_sh, cam, rcfg, bg,
+                          envlight_sh_degree=envl_deg, sky_sh_degree=sky_deg,
+                          specular=specular, fix_sky=fix_sky)
+
+    return jax.jit(f)
