@@ -37,6 +37,12 @@ import jax
 import jax.numpy as jnp
 
 
+def _to_u8(image: np.ndarray) -> np.ndarray:
+    if image.dtype == np.uint8:
+        return image
+    return (np.clip(image, 0, 1) * 255).astype(np.uint8)
+
+
 def _normalize_sibr(msg: dict) -> dict:
     """Reference SIBR message -> the canonical request dict.
 
@@ -127,7 +133,9 @@ class ViewerServer:
             return None
 
     def send_image(self, image: np.ndarray | None):
-        """image: [H, W, 3] float in [0,1], or None (SIBR heartbeat reply)."""
+        """image: [H, W, 3] float in [0,1] — or uint8, passed through as-is (the
+        serving path quantizes ON DEVICE so only 3 bytes/px cross the host
+        transfer; an f32 pull is 4x the bytes for the same wire payload)."""
         if self.conn is None:
             return
         try:
@@ -135,14 +143,13 @@ class ViewerServer:
                 # Reference network_gui.send(): raw image bytes (if any), then the
                 # length-prefixed verify string.
                 if image is not None:
-                    data = (np.clip(image, 0, 1) * 255).astype(np.uint8).tobytes()
-                    self.conn.sendall(data)
+                    self.conn.sendall(_to_u8(image).tobytes())
                 v = self.verify.encode("ascii")
                 self.conn.sendall(struct.pack("<I", len(v)) + v)
             else:
                 if image is None:
                     return
-                data = (np.clip(image, 0, 1) * 255).astype(np.uint8).tobytes()
+                data = _to_u8(image).tobytes()
                 self.conn.sendall(struct.pack("<I", len(data)) + data)
         except (ConnectionError, OSError):
             self.close_conn()
@@ -232,10 +239,10 @@ def _serve_frame(server: ViewerServer, trainer, req: dict):
         rcfg, trainer.cfg.model.envlight_sh_degree,
         trainer.cfg.model.sky_sh_degree, trainer.cfg.model.specular,
         bool(req.get("fix_sky", trainer.cfg.model.fix_sky)))
-    rgb, _alpha = fn(trainer.state.params["gaussians"],
-                     trainer.state.gauss_state, envl[0], sky_sh, cam,
-                     trainer.bg_color)
-    server.send_image(np.asarray(rgb))
+    rgb_u8 = fn(trainer.state.params["gaussians"],
+                trainer.state.gauss_state, envl[0], sky_sh, cam,
+                trainer.bg_color)
+    server.send_image(np.asarray(rgb_u8))
 
 
 @functools.lru_cache(maxsize=16)
@@ -246,13 +253,18 @@ def _jitted_frame_fn(rcfg, envl_deg: int, sky_deg: int, specular: bool,
     Repeat requests at the same resolution/LOD hit the jit cache and run at the
     rasterizer's forward-only rate; a resolution change or pool growth retraces
     once. (RasterizerConfig is a NamedTuple of hashables, so it is a valid
-    lru_cache key.)
+    lru_cache key.) The frame is quantized to uint8 IN-GRAPH: the wire format is
+    3 bytes/px anyway, and pulling f32 would move 4x the bytes off-device.
     """
     from .renderer import render_rgb
 
     def f(gparams, gstate, envl, sky_sh, cam, bg):
-        return render_rgb(gparams, gstate, envl, sky_sh, cam, rcfg, bg,
-                          envlight_sh_degree=envl_deg, sky_sh_degree=sky_deg,
-                          specular=specular, fix_sky=fix_sky)
+        rgb, _alpha = render_rgb(gparams, gstate, envl, sky_sh, cam, rcfg, bg,
+                                 envlight_sh_degree=envl_deg,
+                                 sky_sh_degree=sky_deg,
+                                 specular=specular, fix_sky=fix_sky)
+        # Truncating cast, NOT round: bitwise-identical to the host-side
+        # (np.clip(x,0,1)*255).astype(uint8) the wire protocol promises.
+        return (jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
     return jax.jit(f)

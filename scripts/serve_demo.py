@@ -161,6 +161,31 @@ def main(n=1_000_000, res=800, frames=30):
     assert len(timings) == frames, f"served {len(timings)}/{frames} frames"
     assert all(ln == W * H * 3 for _, ln in timings)
 
+    # Device-only frame time (scalar pull, scripts/tputime.py pattern): under
+    # the axon tunnel the full-frame pull costs ~1.4 s / 64 MB, an environment
+    # artifact a real TPU host (PCIe) does not have — report both.
+    import jax.numpy as jnp
+
+    from relightable3dgaussians_w_tpu.viewer import _jitted_frame_fn
+
+    rcfg_srv = shim.rcfg._replace(scale_modifier=1.0, row_intervals=False,
+                                  skip_alpha=skip_alpha)
+    fn = _jitted_frame_fn(rcfg_srv, shim.cfg.model.envlight_sh_degree,
+                          shim.cfg.model.sky_sh_degree, shim.cfg.model.specular,
+                          False)
+    e = shim.state.params["embeddings"][0][None]
+    envl, sky_sh = shim.mlp.apply({"params": shim.state.params["mlp"]}, e,
+                                  deterministic=True)
+    fargs = (shim.state.params["gaussians"], shim.state.gauss_state, envl[0],
+             sky_sh, cam0, shim.bg_color)
+    float(jnp.sum(fn(*fargs).astype(jnp.float32)))   # warm (cache-hit) frame
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        out_u8 = fn(*fargs)
+    float(jnp.sum(out_u8.astype(jnp.float32)))
+    device_ms = (time.perf_counter() - t0) / reps * 1e3
+
     # Frame 0 includes the jit compile; steady state is the serving number.
     steady = [ms * 1e3 for ms, _ in timings[1:]]
     out = {
@@ -174,6 +199,8 @@ def main(n=1_000_000, res=800, frames=30):
         "steady_ms_per_frame_mean": round(float(np.mean(steady)), 2),
         "steady_ms_per_frame_p50": round(float(np.median(steady)), 2),
         "steady_fps": round(1e3 / float(np.mean(steady)), 1),
+        "device_render_ms": round(device_ms, 2),
+        "device_fps": round(1e3 / device_ms, 1),
         "note": ("end-to-end: socket receive -> jitted render_rgb (3-channel "
                  "serving path) -> uint8 convert -> socket send, camera "
                  "sweeping -10..10 deg yaw; overflow-free budget sized over "
