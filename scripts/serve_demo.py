@@ -49,7 +49,11 @@ def _build_shim(n, W, H, skip_alpha):
 
     cfg = Config()
     cfg.runtime.serve_skip_alpha = skip_alpha
-    params_g, gstate = _synthetic_scene(n=n, n_sky=max(n // 100, 500))
+    # Density-consistent init scales (mean 3-NN d2 ~ (V/n)^(2/3), anchored to
+    # the 0.008 hand-pick at 10k points): at 1M points this lands splat
+    # coverage in the same ~2-6 tiles/Gaussian regime as bench.py's scene.
+    d2 = 0.008 * (10_000 / n) ** (2.0 / 3.0)
+    params_g, gstate = _synthetic_scene(n=n, n_sky=max(n // 100, 500), d2=d2)
     mlp = MLPNet(sh_degree_envl=cfg.model.envlight_sh_degree,
                  sh_degree_sky=cfg.model.sky_sh_degree)
     key = jax.random.PRNGKey(0)
