@@ -259,3 +259,93 @@ def test_json_socket_roundtrip():
     finally:
         server.close_conn()
         server.listener.close()
+
+
+def test_serve_frame_wire_bytes_match_host_conversion():
+    """End-to-end _serve_frame on a tiny scene: the in-graph uint8 quantization
+    (viewer._jitted_frame_fn) must produce wire bytes bitwise-identical to the
+    host-side (np.clip(rgb,0,1)*255).astype(uint8) of the f32 render_rgb output
+    (truncating cast, NOT round), and a repeat request at the same settings must
+    hit the jit cache instead of retracing."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from relightable3dgaussians_w_tpu.config import Config
+    from relightable3dgaussians_w_tpu.models.nets import (
+        MLPNet, init_embeddings, init_mlp)
+    from relightable3dgaussians_w_tpu.ops.rasterize import RasterizerConfig
+    from relightable3dgaussians_w_tpu.renderer import render_rgb
+    from relightable3dgaussians_w_tpu.train_step import TrainState
+    from relightable3dgaussians_w_tpu.viewer import (
+        _jitted_frame_fn, handle_viewer_request)
+    import __graft_entry__ as ge
+
+    W = H = 64
+    cfg = Config()
+    params_g, gstate = ge._synthetic_scene(n=200, n_sky=32, cap=512)
+    mlp = MLPNet(sh_degree_envl=cfg.model.envlight_sh_degree,
+                 sh_degree_sky=cfg.model.sky_sh_degree)
+    key = jax.random.PRNGKey(0)
+
+    class Shim:
+        pass
+
+    shim = Shim()
+    shim.W, shim.H = W, H
+    shim.cfg = cfg
+    shim.mlp = mlp
+    shim.bg_color = jnp.zeros(3, jnp.float32)
+    shim.rcfg = RasterizerConfig(width=W, height=H, max_dup=1 << 12,
+                                 max_tiles_per_gauss=16, lmax_per_tile=128,
+                                 tile_chunk=2)
+    shim.state = TrainState(
+        {"gaussians": params_g, "mlp": init_mlp(key, mlp),
+         "embeddings": init_embeddings(jax.random.fold_in(key, 1), 2)},
+        gstate, None, jnp.asarray(0))
+
+    cam = ge._camera(W, H)
+    req = {"viewmat": np.asarray(cam.viewmat).tolist(),
+           "fovx": 2 * float(np.arctan(float(cam.tan_fovx))),
+           "fovy": 2 * float(np.arctan(float(cam.tan_fovy))),
+           "width": W, "height": H, "train": True, "fix_sky": False,
+           "embedding_index": 0}
+
+    server = ViewerServer(port=0, protocol="json")
+    try:
+        client = _connect(server)
+        payload = json.dumps(req).encode()
+        frames = []
+        _jitted_frame_fn.cache_clear()
+        for _ in range(2):
+            client.sendall(struct.pack("<I", len(payload)) + payload)
+            t = threading.Thread(
+                target=lambda: handle_viewer_request(server, shim))
+            t.start()
+            (n,) = struct.unpack("<I", _recv_exact(client, 4))
+            frames.append(_recv_exact(client, n))
+            t.join(30)
+        client.close()
+    finally:
+        server.close_conn()
+        server.listener.close()
+
+    info = _jitted_frame_fn.cache_info()
+    assert info.misses == 1 and info.hits >= 1, info
+
+    # Host-side reference conversion of the f32 serving render.
+    e = shim.state.params["embeddings"][0][None]
+    envl, sky_sh = mlp.apply({"params": shim.state.params["mlp"]}, e,
+                             deterministic=True)
+    rcfg_srv = shim.rcfg._replace(
+        scale_modifier=1.0, skip_alpha=cfg.runtime.serve_skip_alpha,
+        row_intervals=False)
+    rgb, _ = render_rgb(params_g, gstate, envl[0], sky_sh, cam, rcfg_srv,
+                        shim.bg_color,
+                        envlight_sh_degree=cfg.model.envlight_sh_degree,
+                        sky_sh_degree=cfg.model.sky_sh_degree,
+                        specular=cfg.model.specular, fix_sky=False)
+    expect = (np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8).tobytes()
+    assert frames[0] == expect
+    assert frames[1] == expect
