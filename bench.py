@@ -95,6 +95,10 @@ def build(n, W, H, seed=0):
         pallas_chunk=int(os.environ.get("BENCH_CHUNK", 512)),
         row_intervals=row_iv,
         skip_alpha=skip_alpha,
+        # BENCH_PACKED=1 (render mode only): 12-bit packed R/B entry colors
+        # halve the frame's feature-gather bytes (~9.8e-4 max deviation).
+        packed_rgb=(os.environ.get("BENCH_PACKED", "0") == "1"
+                    and os.environ.get("BENCH_MODE", "train") == "render"),
     )
     return arrs, cam, cfg
 

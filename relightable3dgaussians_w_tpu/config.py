@@ -142,6 +142,11 @@ class RuntimeConfig:
                                       # 54 dB vs exact (45.3 exact), 1/8 ->
                                       # 37.7 ms at 46 dB; aniso-8: 101.8 ->
                                       # 68.8 ms at 45 dB with 1/16
+    serve_packed_rgb: bool = False    # viewer/serving: 12-bit packed R/B entry
+                                      # colors (G exact) halve the frame's entry
+                                      # gather (RasterizerConfig.packed_rgb);
+                                      # per-channel deviation <= ~9.8e-4 (~1/4
+                                      # uint8 step). False = exact colors.
     eval_halffit_views: int = 2       # test views given a short LEFT-half
                                       # embedding fit at eval iterations so the
                                       # training log tracks the PROTOCOL metric

@@ -42,6 +42,32 @@ from ..composite import (ALPHA_MIN, ALPHA_SAT, T_EPS, tile_pixel_basis,
 
 NEG_LOG_EPS = -50.0  # exp(-50) ~ 2e-22: "zero" transmittance in log space
 
+# SERVING packed-RGB quantization (RasterizerConfig.packed_rgb): R and B ride ONE
+# f32 feature row as 12-bit fixed point (q_r*4096 + q_b <= 2^24 - 1, exact in f32),
+# G stays exact f32 — the 9-row RGB feature pack drops from a 16-row padded gather
+# to 8 rows, halving the serving path's dominant gather bytes. Max abs error per
+# packed channel = PACK_LIM / PACK_LEVELS / 2 ~ 9.8e-4 (~1/4 of a uint8 display
+# step); entries are clamped to [0, PACK_LIM) before packing. Fwd-only (no VJP).
+PACK_LIM = 8.0
+PACK_LEVELS = 4095.0
+
+
+def pack_rb(colors):
+    """[N, 3] float rgb -> ([N] packed_rb, [N] g). Exact-f32 integer packing."""
+    q = jnp.round(jnp.clip(colors[:, ::2], 0.0, PACK_LIM) * (PACK_LEVELS / PACK_LIM))
+    return q[:, 0] * 4096.0 + q[:, 1], colors[:, 1]
+
+
+def _unpack_rb_rows(row_rb, row_g):
+    """Kernel-side inverse of pack_rb: [1, CHUNK] rows -> [3, CHUNK] rgb.
+
+    floor(x * 2^-12) and the remainder are exact in f32 for the packed integers,
+    so kernel colors equal the host dequantization bitwise."""
+    q_r = jnp.floor(row_rb * (1.0 / 4096.0))
+    q_b = row_rb - q_r * 4096.0
+    step = PACK_LIM / PACK_LEVELS
+    return jnp.concatenate([q_r * step, row_g, q_b * step], axis=0)
+
 
 def _chunk_alpha(rows, valid_len, tile, px0, py0, chunk):
     """rows: [F, CHUNK]; returns alpha [P, CHUNK] and aux terms.
@@ -166,7 +192,7 @@ def _prefix_exact(x, strict):
 
 def _fwd_kernel(starts_ref, counts_ref, feat_hbm, out_ref, tfin_ref,
                 scratch, sems, *, tile, chunk, channels, f_pad, grid_x,
-                align, tb):
+                align, tb, packed_rgb=False):
     P = tile * tile
 
     # tb tiles per grid step: the per-step machinery (block write pipeline, loop
@@ -220,7 +246,10 @@ def _fwd_kernel(starts_ref, counts_ref, feat_hbm, out_ref, tfin_ref,
             include = log_p_inc >= jnp.log(T_EPS)
             w = jnp.where(include, alpha * jnp.exp(excl), 0.0)      # [P, CHUNK]
 
-            colors = rows[6 : 6 + channels, :]                       # [C, CHUNK]
+            if packed_rgb:
+                colors = _unpack_rb_rows(rows[6:7, :], rows[7:8, :])  # [3, CHUNK]
+            else:
+                colors = rows[6 : 6 + channels, :]                   # [C, CHUNK]
             acc = acc + _contract_lanes2(w, colors)                  # [P, C]
             log_tfin = log_tfin + jnp.sum(jnp.where(include, log1m, 0.0), axis=1, keepdims=True)
             return c_idx + 1, cont, log_praw_new, acc, log_tfin
@@ -243,10 +272,12 @@ def _fwd_kernel(starts_ref, counts_ref, feat_hbm, out_ref, tfin_ref,
 
 def composite_forward_pallas(feat_t, tile_start, tile_count, bg, *, grid_x, grid_y,
                              channels, tile=16, chunk=256, interpret=False,
-                             align=None, tiles_per_step=4):
+                             align=None, tiles_per_step=4, packed_rgb=False):
     """feat_t: [F_pad, D_aligned] transposed entry features with chunk-aligned tile
     segments. Returns (tiles_rgb [T, P, C], tiles_tfin [T, P])."""
     f_pad, D = feat_t.shape
+    if packed_rgb:
+        assert channels == 3 and f_pad == 8, (channels, f_pad)
     num_tiles = grid_x * grid_y
     P = tile * tile
     tb = max(1, tiles_per_step)
@@ -274,7 +305,7 @@ def composite_forward_pallas(feat_t, tile_start, tile_count, bg, *, grid_x, grid
     )
     kernel = functools.partial(_fwd_kernel, tile=tile, chunk=chunk,
                                channels=channels, f_pad=f_pad, grid_x=grid_x,
-                               align=align or chunk, tb=tb)
+                               align=align or chunk, tb=tb, packed_rgb=packed_rgb)
     tiles_rgb, tiles_tfin = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -20,6 +20,9 @@ class PallasCompositeConfig(NamedTuple):
     interpret: bool = False
     align: int = 256   # tile-segment alignment quantum (<= chunk, multiple of 128)
     tiles_per_step: int = 4  # tiles per Pallas grid step (amortizes ~2.2us/step)
+    packed_rgb: bool = False  # SERVING: rows 6/7 = (packed 12-bit R|B, exact G)
+                              # — fwd-only; the VJP refuses it (tile_composite.py
+                              # pack_rb)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -29,7 +32,7 @@ def composite_tiles_pallas(feat_t, tile_start, tile_count, bg, cfg: PallasCompos
         feat_t, tile_start, tile_count, bg,
         grid_x=cfg.grid_x, grid_y=cfg.grid_y, channels=cfg.channels, tile=cfg.tile,
         chunk=cfg.chunk, interpret=cfg.interpret, align=cfg.align,
-        tiles_per_step=cfg.tiles_per_step,
+        tiles_per_step=cfg.tiles_per_step, packed_rgb=cfg.packed_rgb,
     )
 
 
@@ -39,6 +42,10 @@ def _fwd(feat_t, tile_start, tile_count, bg, cfg):
 
 
 def _bwd(cfg, res, cots):
+    if cfg.packed_rgb:
+        raise NotImplementedError(
+            "packed_rgb is a forward-only serving mode (quantized color rows "
+            "carry no gradient contract); train with packed_rgb=False")
     feat_t, tile_start, tile_count, bg, tiles_rgb, tiles_tfin = res
     g_tiles, g_tfin = cots
     d_feat_t, d_bg = composite_backward_pallas(

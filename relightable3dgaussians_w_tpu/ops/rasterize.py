@@ -61,6 +61,17 @@ class RasterizerConfig(NamedTuple):
                                      # by skip_alpha per pixel), cutting the
                                      # sorted/gathered entry count. Training
                                      # must keep the default.
+    packed_rgb: bool = False         # SERVING (fwd-only, 3-channel colors):
+                                     # quantize R/B to 12-bit fixed point packed
+                                     # into ONE feature row (G exact) so the
+                                     # entry gather moves 8 rows instead of a
+                                     # 16-row padded pack (~half the serving
+                                     # path's dominant gather bytes); per-pixel
+                                     # |err| <= ~9.8e-4 per packed channel
+                                     # (pallas/tile_composite.py pack_rb). No
+                                     # VJP — training must keep False. Pallas
+                                     # path only: the jnp path ignores the flag
+                                     # and renders exact colors.
 
     @property
     def grid_x(self) -> int:
@@ -107,7 +118,7 @@ def _gather_features(pre, binning: BinningOut, opacities, colors, mean2d_probe):
 
 
 def _gather_features_t(pre, aligned, opacities, colors, mean2d_probe,
-                       interpret: bool = False):
+                       interpret: bool = False, packed_rgb: bool = False):
     """Transposed feature gather [F_pad, D_aligned] for the Pallas path: ONE fused
     per-Gaussian feature pack [N, F_pad], one row gather, one transpose. Alignment
     padding entries alias Gaussian 0 but are masked inside the kernel by the per-tile
@@ -116,6 +127,18 @@ def _gather_features_t(pre, aligned, opacities, colors, mean2d_probe,
     from .pallas.segment_sum import gather_rows_t
 
     mean2d = pre.mean2d if mean2d_probe is None else pre.mean2d + mean2d_probe
+    if packed_rgb:
+        # Serving fast path: RGB -> (12-bit packed R|B, exact G) so the feature
+        # pack is exactly 8 rows — no structural padding at all.
+        from .pallas.tile_composite import pack_rb
+
+        assert colors.shape[-1] == 3, colors.shape
+        rb, g_col = pack_rb(colors)
+        feat_pack = jnp.concatenate(
+            [mean2d, pre.conic, opacities[:, None], rb[:, None], g_col[:, None]],
+            axis=-1)
+        return gather_rows_t(feat_pack, aligned.gauss_id, feat_pack.shape[0], 8,
+                             interpret)
     f = 6 + colors.shape[-1]
     # f is padded to a sublane multiple (Mosaic rejects non-multiple-of-8 leading
     # dims in the kernels' [F, chunk] DMAs — verified on v5e). The padding is not
@@ -246,12 +269,14 @@ def rasterize(means3d, scales, quats, opacities, colors, bg,
             d_aligned = ((d_aligned + MACRO - 1) // MACRO) * MACRO
             aligned = align_entries(binning, num_tiles, align, d_aligned)
         feat_t = _gather_features_t(pre, aligned, opacities, colors, mean2d_probe,
-                                    interpret=cfg.pallas_interpret)
+                                    interpret=cfg.pallas_interpret,
+                                    packed_rgb=cfg.packed_rgb)
         pcfg = PallasCompositeConfig(grid_x=cfg.grid_x, grid_y=cfg.grid_y,
                                      channels=colors.shape[-1], tile=cfg.tile,
                                      chunk=cfg.pallas_chunk, align=align,
                                      tiles_per_step=cfg.tiles_per_step,
-                                     interpret=cfg.pallas_interpret)
+                                     interpret=cfg.pallas_interpret,
+                                     packed_rgb=cfg.packed_rgb)
         _check_bg_vma(bg, feat_t)
         tiles_rgb, tiles_tfin = composite_tiles_pallas(
             feat_t, aligned.tile_start, aligned.tile_count, bg, pcfg)

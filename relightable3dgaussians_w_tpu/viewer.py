@@ -224,6 +224,7 @@ def _serve_frame(server: ViewerServer, trainer, req: dict):
         # threshold (default 1/255 = exact; runtime.serve_skip_alpha trades
         # bounded image deviation for frame rate — see RasterizerConfig).
         skip_alpha=trainer.cfg.runtime.serve_skip_alpha,
+        packed_rgb=trainer.cfg.runtime.serve_packed_rgb,
         # Viewer frames never train: intervals pay only in fwd+bwd (exp_r5a
         # measured them a net cost on forward-only).
         row_intervals=False)

@@ -49,6 +49,7 @@ def _build_shim(n, W, H, skip_alpha):
 
     cfg = Config()
     cfg.runtime.serve_skip_alpha = skip_alpha
+    cfg.runtime.serve_packed_rgb = os.environ.get("SERVE_PACKED", "0") == "1"
     # Density-consistent init scales (mean 3-NN d2 ~ (V/n)^(2/3), anchored to
     # the 0.008 hand-pick at 10k points): at 1M points this lands splat
     # coverage in the same ~2-6 tiles/Gaussian regime as bench.py's scene.
@@ -173,7 +174,8 @@ def main(n=1_000_000, res=800, frames=30):
     from relightable3dgaussians_w_tpu.viewer import _jitted_frame_fn
 
     rcfg_srv = shim.rcfg._replace(scale_modifier=1.0, row_intervals=False,
-                                  skip_alpha=skip_alpha)
+                                  skip_alpha=skip_alpha,
+                                  packed_rgb=shim.cfg.runtime.serve_packed_rgb)
     fn = _jitted_frame_fn(rcfg_srv, shim.cfg.model.envlight_sh_degree,
                           shim.cfg.model.sky_sh_degree, shim.cfg.model.specular,
                           False)
@@ -197,6 +199,7 @@ def main(n=1_000_000, res=800, frames=30):
         "protocol": "json (length-prefixed; SIBR wire also supported)",
         "n_gaussians": n, "resolution": [W, H], "frames": frames,
         "skip_alpha": skip_alpha, "max_dup": max_dup,
+        "packed_rgb": shim.cfg.runtime.serve_packed_rgb,
         "backend": jax.default_backend(),
         "build_s": round(build_s, 1),
         "first_frame_ms_incl_compile": round(timings[0][0] * 1e3, 1),

@@ -45,14 +45,17 @@ def measure_stage_pie(arrs, cam, cfg, bg, mode="train"):
     aligned, t_bin = timeit(jax.jit(bin_fn), pre, opac, name="binning",
                             quiet=True)
 
-    gath_f = jax.jit(lambda p, a, o, c: _gather_features_t(p, a, o, c, None))
+    packed = bool(getattr(cfg, "packed_rgb", False))
+    gath_f = jax.jit(lambda p, a, o, c: _gather_features_t(
+        p, a, o, c, None, packed_rgb=packed))
     feat_t, t_g = timeit(gath_f, pre, aligned, opac, colors, name="gather",
                          quiet=True)
 
     pcfg = PallasCompositeConfig(grid_x=cfg.grid_x, grid_y=cfg.grid_y,
                                  channels=colors.shape[-1], tile=cfg.tile,
                                  chunk=cfg.pallas_chunk, align=align,
-                                 tiles_per_step=cfg.tiles_per_step)
+                                 tiles_per_step=cfg.tiles_per_step,
+                                 packed_rgb=packed)
     fwd_f = jax.jit(lambda f, s, c: composite_tiles_pallas(f, s, c, bg, pcfg))
     _, t_cf = timeit(fwd_f, feat_t, aligned.tile_start, aligned.tile_count,
                      name="composite_fwd", quiet=True)
