@@ -65,14 +65,16 @@ def parity_check(arrs, cam, cfg):
 def main():
     out = {}
     t0 = time.time()
+    # Plain sa8 rows are already in EXP_r05c.json (aniso1 37.72 ms / aniso8
+    # 68.75 ms at sa16); only the packed variants are new compiles here.
+    cases = {
+        1.0: (("exact", 1.0 / 255.0, False), ("packed", 1.0 / 255.0, True),
+              ("sa8_packed", 1.0 / 8.0, True)),
+        8.0: (("exact", 1.0 / 255.0, False), ("sa8_packed", 1.0 / 8.0, True)),
+    }
     for aniso in (1.0, 8.0):
         exact_img = None
-        for name, sa, packed in (
-            ("exact", 1.0 / 255.0, False),
-            ("packed", 1.0 / 255.0, True),
-            ("sa8", 1.0 / 8.0, False),
-            ("sa8_packed", 1.0 / 8.0, True),
-        ):
+        for name, sa, packed in cases[aniso]:
             img, dt, ovf, md, arrs, cam, cfg = run_case(aniso, sa, packed)
             rec = dict(ms=round(dt, 2), fps=round(1e3 / dt, 1), overflow=ovf,
                        max_dup=md)
